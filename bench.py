@@ -1,0 +1,125 @@
+"""Benchmark harness — emits ONE JSON line with the headline metric.
+
+Headline (BASELINE.md): basecalled raw-signal samples/s/chip, measured
+on the flagship transformer model decoding synthetic nanopore reads
+(batch=32, chunk=2048 — BASELINE.json config C2) with the full
+on-device greedy decode loop.
+
+`vs_baseline`: no published reference numbers exist (BASELINE.md —
+empty mount, `"published": {}`), so the ratio is reported against the
+reference-era expectation recorded in bench_results/baseline_ref.json
+when present, else 1.0.
+
+Usage: python bench.py [--cpu] [--seconds N] [--beam]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    ap.add_argument("--seconds", type=float, default=10.0, help="min measure time")
+    ap.add_argument("--beam", action="store_true", help="beam decode instead of greedy")
+    ap.add_argument("--batches", type=int, default=8, help="timed batches minimum")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    import numpy as np
+
+    from nanodecoder_tpu.config import Config, DecodeConfig
+    from nanodecoder_tpu.decode.translator import Translator
+    from nanodecoder_tpu.models.model import init_model, param_count
+    from nanodecoder_tpu.train.data import SimSpec, simulate_read
+
+    config = Config()  # flagship defaults: d_model=256, 6+3 layers, chunk=2048
+    if args.beam:
+        config = dataclasses.replace(
+            config, decode=dataclasses.replace(config.decode, mode="beam")
+        )
+
+    params = init_model(jax.random.PRNGKey(0), config.model)
+    n_params = param_count(params)
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}, "
+          f"params: {n_params/1e6:.2f}M", file=sys.stderr)
+
+    translator = Translator(params, config)
+
+    # Synthetic chunk batch at the benchmark shape (C2: batch=32, chunk=2048).
+    bsz = config.decode.batch_chunks
+    clen = config.signal.chunk_len
+    rng = np.random.default_rng(0)
+    spec = SimSpec()
+    levels = spec.level_table()
+    chunks = np.zeros((bsz, clen), np.float32)
+    for i in range(bsz):
+        _seq, sig = simulate_read(rng, int(clen / spec.mean_dwell * 0.95), spec, levels)
+        n = min(sig.shape[0], clen)
+        chunks[i, :n] = sig[:n]
+    lengths = np.full((bsz,), clen, np.int32)
+
+    import jax.numpy as jnp
+
+    jc, jl = jnp.asarray(chunks), jnp.asarray(lengths)
+
+    # Warmup (compile) — excluded from timing.
+    t0 = time.perf_counter()
+    out = translator._decode_jit(jc, jl)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    print(f"# warmup/compile: {compile_s:.1f}s", file=sys.stderr)
+
+    # Steady-state measurement.
+    n_batches = 0
+    t0 = time.perf_counter()
+    while True:
+        out = translator._decode_jit(jc, jl)
+        n_batches += 1
+        elapsed = time.perf_counter() - t0
+        if n_batches >= args.batches and elapsed >= args.seconds:
+            break
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    samples = n_batches * bsz * clen
+    samples_per_sec = samples / elapsed
+    ksamples = samples_per_sec / 1e3
+
+    vs_baseline = 1.0
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_results", "baseline_ref.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+        if ref.get("ksamples_per_sec"):
+            vs_baseline = ksamples / float(ref["ksamples_per_sec"])
+
+    print(json.dumps({
+        "metric": "basecalled_samples_per_sec_per_chip",
+        "value": round(ksamples, 2),
+        "unit": "ksamples/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Basecall CLI entry point.
+
+Reference analog: translate.py / the NanoDecoder basecall script
+(SURVEY.md §2.1 L6, §3.2).
+
+    python -m nanodecoder_tpu.cli.basecall \
+        --input reads_dir/ --output out.fastq --ckpt ckpt_dir [--beam 5]
+
+Multi-host: run one process per host with jax.distributed configured;
+each host basecalls its static file shard and writes
+out.fastq.shardNNNNN; host 0 merges (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="TPU-native nanopore basecaller")
+    ap.add_argument("--input", required=True, help="fast5/pod5 file or directory")
+    ap.add_argument("--output", required=True, help="output FASTQ/FASTA path")
+    ap.add_argument("--ckpt", required=True, help="checkpoint directory (orbax) or .npz params")
+    ap.add_argument("--format", choices=["fastq", "fasta"], default="fastq")
+    ap.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
+    ap.add_argument("--length-penalty", choices=["none", "wu", "avg"], default="none")
+    ap.add_argument("--alpha", type=float, default=0.6)
+    ap.add_argument("--batch-chunks", type=int, default=0, help="override batch size")
+    ap.add_argument("--stitch", choices=["trim", "align"], default="trim")
+    ap.add_argument("--workers", type=int, default=4, help="ingest reader threads")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip reads already in <output>.done")
+    ap.add_argument("--cpu", action="store_true", help="run on CPU")
+    ap.add_argument("--parity", action="store_true",
+                    help="f32 parity mode (SURVEY.md R2) instead of bf16")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from nanodecoder_tpu.cli.common import load_params_and_config
+    from nanodecoder_tpu.decode.engine import StreamingBasecaller
+    from nanodecoder_tpu.io.fast5 import list_signal_files
+    from nanodecoder_tpu.parallel.mesh import make_mesh_plan
+    from nanodecoder_tpu.parallel.multihost import (
+        host_shard_path,
+        initialize_multihost,
+        merge_host_shards,
+        partition_files_for_host,
+        barrier,
+    )
+    from nanodecoder_tpu.utils.logging import get_logger
+    from nanodecoder_tpu.utils.report import ReportManager
+
+    log = get_logger("basecall")
+    pid, pcount = initialize_multihost()
+
+    params, config = load_params_and_config(args.ckpt)
+    overrides = {}
+    if args.beam > 0:
+        overrides.update(mode="beam", beam_size=args.beam,
+                         length_penalty=args.length_penalty, alpha=args.alpha)
+    if args.batch_chunks > 0:
+        overrides.update(batch_chunks=args.batch_chunks)
+    if overrides:
+        config = dataclasses.replace(
+            config, decode=dataclasses.replace(config.decode, **overrides)
+        )
+    if args.parity:
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, compute_dtype="float32")
+        )
+
+    files = list_signal_files(args.input)
+    if not files:
+        log.error("no fast5/pod5 files under %s", args.input)
+        return 2
+    files = partition_files_for_host(files)
+    out_path = args.output if pcount == 1 else host_shard_path(args.output)
+
+    skip: set[str] = set()
+    done_path = args.output + ".done"
+    if args.resume:
+        import os
+
+        if os.path.exists(done_path):
+            skip = set(open(done_path).read().split())
+            log.info("resume: skipping %d completed reads", len(skip))
+
+    plan = make_mesh_plan(config.mesh) if jax.device_count() > 1 else None
+    caller = StreamingBasecaller(params, config, mesh_plan=plan)
+    with open(out_path, "w") as out, open(done_path, "a") as done_log:
+        meter = caller.run(
+            files, out, stitch_method=args.stitch, skip_read_ids=skip,
+            num_workers=args.workers, write_format=args.format,
+            done_log=done_log,
+        )
+    barrier("basecall-done")
+    if pcount > 1:
+        merge_host_shards(args.output)
+    ReportManager().report_inference(meter.rates(), {"n_hosts": pcount})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,187 @@
+"""Typed configuration for the whole framework.
+
+The reference carries every knob in one giant argparse registry
+(onmt/opts.py, ~1k LoC; SURVEY.md §2.1) and reconstructs model topology
+from opts pickled inside checkpoints.  We replace that with small typed
+dataclasses, serialized as JSON next to checkpoints (SURVEY.md §5.6).
+
+All shape-bearing fields are static ints so that everything under jit
+traces with static shapes (XLA requirement; SURVEY.md §7 R4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+def _asdict(obj) -> dict[str, Any]:
+    return dataclasses.asdict(obj)
+
+
+@dataclasses.dataclass(frozen=True)
+class SignalConfig:
+    """Raw-signal normalization + chunking (reference: fast5 ingest +
+    chunk/normalize stage, SURVEY.md §2.1 'Signal ingest')."""
+
+    chunk_len: int = 2048        # samples per chunk (BASELINE.json config C2)
+    chunk_overlap: int = 256     # overlap between consecutive chunks
+    min_chunk_fill: float = 0.25 # drop trailing chunk if < this fraction real samples
+    normalization: str = "mad"   # "mad" (median/MAD z-score) | "meanstd" | "none"
+    mad_scale: float = 1.4826    # MAD -> sigma consistency constant
+    clip_sigma: float = 5.0      # clip normalized signal to +-clip_sigma (0 = off)
+
+    @property
+    def chunk_stride(self) -> int:
+        return self.chunk_len - self.chunk_overlap
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Seq2seq model topology (reference: onmt/opts.py model_opts +
+    model_builder.build_model, SURVEY.md §2.1)."""
+
+    vocab_size: int = 8
+    d_model: int = 256
+    # --- conv front-end over raw samples (reference: audio-encoder-style
+    # conv stack, SURVEY.md §2.1 'Encoder front-end') ---
+    conv_channels: tuple[int, ...] = (64, 128, 256)
+    conv_kernels: tuple[int, ...] = (5, 5, 5)
+    conv_strides: tuple[int, ...] = (2, 2, 2)   # product = time downsample factor
+    # --- encoder ---
+    encoder_type: str = "transformer"  # "transformer" | "lstm"
+    enc_layers: int = 6
+    enc_heads: int = 8
+    enc_ffn_dim: int = 1024
+    lstm_hidden: int = 256              # per-direction hidden for the biLSTM path
+    # --- decoder ---
+    decoder_type: str = "transformer"  # "transformer" | "rnn"
+    dec_layers: int = 3
+    dec_heads: int = 8
+    dec_ffn_dim: int = 1024
+    rnn_attention: str = "general"      # Luong score for the RNN path: dot|general|mlp
+    # --- common ---
+    dropout: float = 0.1
+    max_decode_len: int = 320           # static decode-loop bound (chunk_len/stride ~ bases+slack)
+    param_dtype: str = "float32"        # master params
+    compute_dtype: str = "bfloat16"     # activations on TPU ("float32" = parity mode, SURVEY §7 R2)
+
+    @property
+    def time_downsample(self) -> int:
+        p = 1
+        for s in self.conv_strides:
+            p *= s
+        return p
+
+    @property
+    def head_dim(self) -> int:
+        assert self.d_model % self.enc_heads == 0
+        return self.d_model // self.enc_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """Decoding strategy (reference: onmt/translate/* + penalties,
+    SURVEY.md §2.1, §3.5)."""
+
+    mode: str = "greedy"          # "greedy" | "beam"
+    beam_size: int = 5
+    length_penalty: str = "none"  # "none" | "wu" | "avg"
+    alpha: float = 0.6            # wu penalty exponent
+    n_best: int = 1
+    max_len: int = 320            # must equal ModelConfig.max_decode_len
+    batch_chunks: int = 32        # chunks per device batch (BASELINE C2)
+    use_pallas: bool = True       # pallas attention kernels on TPU hot path
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training loop knobs (reference: onmt/opts.py train_opts + trainer,
+    SURVEY.md §2.1 'Trainer'/'Optimizer wrapper'/'Loss')."""
+
+    batch_size: int = 32
+    accum_steps: int = 1
+    label_smoothing: float = 0.1
+    optimizer: str = "adam"
+    learning_rate: float = 2.0      # noam peak multiplier (OpenNMT-style)
+    lr_schedule: str = "noam"       # "noam" | "constant" | "cosine"
+    warmup_steps: int = 4000
+    adam_b1: float = 0.9
+    adam_b2: float = 0.998
+    grad_clip: float = 5.0
+    train_steps: int = 10000
+    valid_every: int = 1000
+    save_every: int = 1000
+    seed: int = 0
+    ckpt_dir: str = "checkpoints"
+    keep_checkpoints: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for data-parallel decode/training (SURVEY.md §2.4:
+    DP is the only strategy in the reference; we keep a `data` axis and
+    leave room for a `model` axis without building TP)."""
+
+    data_axis: str = "data"
+    num_devices: int = 0  # 0 = all visible devices
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    signal: SignalConfig = SignalConfig()
+    model: ModelConfig = ModelConfig()
+    decode: DecodeConfig = DecodeConfig()
+    train: TrainConfig = TrainConfig()
+    mesh: MeshConfig = MeshConfig()
+
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "Config":
+        raw = json.loads(text)
+
+        def build(cls, d):
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            kwargs = {}
+            for k, v in d.items():
+                if k not in fields:
+                    continue
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[k] = v
+            return cls(**kwargs)
+
+        return Config(
+            signal=build(SignalConfig, raw.get("signal", {})),
+            model=build(ModelConfig, raw.get("model", {})),
+            decode=build(DecodeConfig, raw.get("decode", {})),
+            train=build(TrainConfig, raw.get("train", {})),
+            mesh=build(MeshConfig, raw.get("mesh", {})),
+        )
+
+
+def tiny_test_config() -> Config:
+    """Small topology for unit tests / CPU runs."""
+    return Config(
+        signal=SignalConfig(chunk_len=256, chunk_overlap=32),
+        model=ModelConfig(
+            d_model=32,
+            conv_channels=(16, 32),
+            conv_kernels=(5, 5),
+            conv_strides=(2, 2),
+            enc_layers=2,
+            enc_heads=4,
+            enc_ffn_dim=64,
+            lstm_hidden=32,
+            dec_layers=2,
+            dec_heads=4,
+            dec_ffn_dim=64,
+            max_decode_len=48,
+            compute_dtype="float32",
+        ),
+        decode=DecodeConfig(max_len=48, batch_chunks=4, use_pallas=False),
+        train=TrainConfig(batch_size=4, warmup_steps=10, train_steps=20),
+    )

@@ -1,0 +1,156 @@
+"""Vectorized on-device beam search.
+
+Reference analog: onmt/translate/beam_search.py `BeamSearch.advance` /
+`update_finished` (SURVEY.md §3.5) — per step: add cumulative scores,
+apply length penalty, topk over beam*vocab, mark EOS, reorder the
+decoder cache by beam origin.  The reference runs this in Python with a
+device sync per token.
+
+TPU-first re-design: the classic alive/finished vectorized formulation
+(PAPERS.md: vectorized beam search for encoder-decoder ASR; also the
+standard JAX NMT pattern).  All beams of all chunks live in one
+(B*K)-row device batch; each step does ONE fused program:
+
+  log-prob add -> top_k(2K) over K*V -> split alive/finished ->
+  gather sequences + KV caches by beam origin.
+
+2K candidates guarantee K non-EOS continuations always exist.  The
+whole loop is a `lax.while_loop` with an admissible early-stop bound
+(best achievable alive score vs worst kept finished score).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nanodecoder_tpu.config import DecodeConfig, ModelConfig
+from nanodecoder_tpu.decode.penalties import length_penalty
+from nanodecoder_tpu.models.model import decode_step, init_decode_state, reorder_decode_state
+from nanodecoder_tpu.vocab import BOS_ID, EOS_ID, PAD_ID
+
+NEG_INF = -1.0e9
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray   # (B, K, max_len) int32 — best-first hypotheses
+    lengths: jnp.ndarray  # (B, K) int32 — emitted tokens incl. EOS
+    scores: jnp.ndarray   # (B, K) f32 — length-penalized log-prob
+    finished: jnp.ndarray  # (B, K) bool — hypothesis ended with EOS
+
+
+def _gather_beams(x, idx):
+    """x: (B, K_in, ...), idx: (B, K_out) -> (B, K_out, ...)."""
+    return jax.vmap(lambda row, i: row[i])(x, idx)
+
+
+def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
+                memory, mem_lengths) -> BeamResult:
+    """Beam-search decode a memory-bank batch.  memory: (B, S, D)."""
+    b = memory.shape[0]
+    k = dcfg.beam_size
+    v = cfg.vocab_size
+    tmax = cfg.max_decode_len
+
+    # Tile encoder outputs beam-wise: row b*K + j is beam j of chunk b.
+    mem_t = jnp.repeat(memory, k, axis=0)
+    len_t = jnp.repeat(mem_lengths, k, axis=0)
+    state0 = init_decode_state(params, cfg, mem_t, len_t)
+
+    batch_idx = jnp.arange(b)[:, None]  # (B, 1)
+
+    init = dict(
+        state=state0,
+        cur=jnp.full((b * k,), BOS_ID, jnp.int32),
+        alive_seq=jnp.full((b, k, tmax), PAD_ID, jnp.int32),
+        # Beam 0 starts at 0, the rest at -inf so step 0 picks distinct tokens.
+        alive_scores=jnp.tile(
+            jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)])[None, :],
+            (b, 1),
+        ).astype(jnp.float32),
+        fin_seq=jnp.full((b, k, tmax), PAD_ID, jnp.int32),
+        fin_scores=jnp.full((b, k), NEG_INF, jnp.float32),
+        fin_lengths=jnp.zeros((b, k), jnp.int32),
+        fin_flags=jnp.zeros((b, k), jnp.bool_),
+        t=jnp.zeros((), jnp.int32),
+    )
+
+    max_pen = length_penalty(tmax, dcfg.length_penalty, dcfg.alpha)
+
+    def cond(c):
+        # Best score any alive beam could still reach (log-probs only
+        # decrease; penalty divisor is max at tmax for negative scores).
+        best_alive_bound = c["alive_scores"][:, 0] / max_pen
+        worst_finished = jnp.min(
+            jnp.where(c["fin_flags"], c["fin_scores"], NEG_INF), axis=1
+        )
+        done = jnp.all(worst_finished >= best_alive_bound)
+        return jnp.logical_and(c["t"] < tmax, ~done)
+
+    def body(c):
+        t = c["t"]
+        log_probs, _attn, state = decode_step(params, cfg, c["cur"], c["state"])
+        lp = log_probs.reshape(b, k, v)
+
+        # ---- advance: add cumulative scores, topk over K*V ----
+        cand = c["alive_scores"][:, :, None] + lp       # (B, K, V)
+        flat = cand.reshape(b, k * v)
+        top_scores, top_ids = jax.lax.top_k(flat, 2 * k)  # (B, 2K)
+        origin = top_ids // v
+        tok = (top_ids % v).astype(jnp.int32)
+
+        cand_seq = _gather_beams(c["alive_seq"], origin)  # (B, 2K, T)
+        cand_seq = jax.lax.dynamic_update_slice_in_dim(
+            cand_seq, tok[:, :, None], t, axis=2
+        )
+        is_eos = tok == EOS_ID
+
+        # ---- new alive: best K non-EOS candidates ----
+        alive_cand = jnp.where(is_eos, NEG_INF, top_scores)
+        new_alive_scores, alive_idx = jax.lax.top_k(alive_cand, k)  # (B, K)
+        new_alive_seq = _gather_beams(cand_seq, alive_idx)
+        alive_origin = jnp.take_along_axis(origin, alive_idx, axis=1)  # (B, K)
+        new_cur = jnp.take_along_axis(tok, alive_idx, axis=1).reshape(-1)
+
+        # ---- reorder decoder state rows by beam origin ----
+        flat_origin = (batch_idx * k + alive_origin).reshape(-1)  # (B*K,)
+        state = reorder_decode_state(state, flat_origin)
+
+        # ---- merge newly finished into the finished set ----
+        pen = length_penalty(t + 1, dcfg.length_penalty, dcfg.alpha)
+        new_fin_cand = jnp.where(is_eos, top_scores / pen, NEG_INF)  # (B, 2K)
+        all_scores = jnp.concatenate([c["fin_scores"], new_fin_cand], axis=1)
+        all_seq = jnp.concatenate([c["fin_seq"], cand_seq], axis=1)
+        all_len = jnp.concatenate(
+            [c["fin_lengths"], jnp.full((b, 2 * k), t + 1, jnp.int32)], axis=1
+        )
+        all_flags = jnp.concatenate([c["fin_flags"], is_eos], axis=1)
+        new_fin_scores, fin_idx = jax.lax.top_k(all_scores, k)
+        return dict(
+            state=state,
+            cur=new_cur,
+            alive_seq=new_alive_seq,
+            alive_scores=new_alive_scores,
+            fin_seq=_gather_beams(all_seq, fin_idx),
+            fin_scores=new_fin_scores,
+            fin_lengths=jnp.take_along_axis(all_len, fin_idx, axis=1),
+            fin_flags=jnp.take_along_axis(all_flags, fin_idx, axis=1),
+            t=t + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+
+    # Rows with no finished hypothesis fall back to the best alive beam
+    # (length-penalized at tmax), matching reference behavior when no
+    # EOS is emitted within max_len.
+    none_finished = ~jnp.any(out["fin_flags"], axis=1)  # (B,)
+    alive_pen_scores = out["alive_scores"] / max_pen
+    sel = none_finished[:, None]
+    fin_seq = jnp.where(sel[:, :, None], out["alive_seq"], out["fin_seq"])
+    fin_scores = jnp.where(sel, alive_pen_scores, out["fin_scores"])
+    fin_lengths = jnp.where(sel, jnp.full((b, k), tmax, jnp.int32), out["fin_lengths"])
+    fin_flags = jnp.where(sel, jnp.zeros((b, k), jnp.bool_), out["fin_flags"])
+    return BeamResult(tokens=fin_seq, lengths=fin_lengths, scores=fin_scores,
+                      finished=fin_flags)

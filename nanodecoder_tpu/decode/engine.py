@@ -1,0 +1,151 @@
+"""Streaming basecall engine: async ingest -> device pipeline -> FASTQ.
+
+Reference analog: the NanoDecoder basecall entry script walking a fast5
+dir and calling Translator per batch (SURVEY.md §3.2) — but re-built
+around the TPU execution model:
+
+  * chunks from MANY reads are packed into one fixed device shape
+    (one XLA program, compiled once),
+  * dispatch-ahead: JAX's async dispatch keeps >=`depth` batches in
+    flight so host ingest/stitch overlaps device decode
+    (BASELINE config C4: "async fast5/pod5 ingest, data-parallel"),
+  * reads are stitched + written the moment their last chunk arrives
+    (bounded memory over arbitrarily large flowcells),
+  * resumable: completed read ids can be skipped on restart
+    (SURVEY.md §5.3 — resumable inference).
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanodecoder_tpu.config import Config
+from nanodecoder_tpu.decode.beam import beam_decode
+from nanodecoder_tpu.decode.greedy import greedy_decode
+from nanodecoder_tpu.decode.translator import _phred_from_log_probs
+from nanodecoder_tpu.io.pipeline import AsyncChunkPipeline, PackedBatch
+from nanodecoder_tpu.io.stitch import stitch_chunks
+from nanodecoder_tpu.models.model import encode
+from nanodecoder_tpu.utils.logging import get_logger
+from nanodecoder_tpu.utils.statistics import ThroughputMeter
+from nanodecoder_tpu.vocab import DNA_VOCAB
+
+log = get_logger("engine")
+
+
+class StreamingBasecaller:
+    def __init__(self, params, config: Config, mesh_plan=None, depth: int = 2):
+        self.config = config
+        self.depth = depth
+        mcfg, dcfg = config.model, config.decode
+
+        def greedy_program(signal, lengths):
+            memory, mem_len = encode(params, mcfg, signal, lengths)
+            r = greedy_decode(params, mcfg, memory, mem_len)
+            return r.tokens, r.lengths, r.token_log_probs
+
+        def beam_program(signal, lengths):
+            memory, mem_len = encode(params, mcfg, signal, lengths)
+            r = beam_decode(params, mcfg, dcfg, memory, mem_len)
+            per_tok = r.scores[:, 0] / jnp.maximum(r.lengths[:, 0].astype(jnp.float32), 1.0)
+            lps = jnp.broadcast_to(per_tok[:, None], r.tokens[:, 0].shape)
+            return r.tokens[:, 0], r.lengths[:, 0], lps
+
+        program = greedy_program if dcfg.mode == "greedy" else beam_program
+        if mesh_plan is not None:
+            params = mesh_plan.replicate(params)
+            self._decode = mesh_plan.shard_decode_fn(program)
+            self._place = mesh_plan.shard_batch
+        else:
+            self._decode = jax.jit(program)
+            self._place = lambda b: b
+
+    # -----------------------------------------------------------------
+
+    def run(
+        self,
+        files: list[str],
+        out,
+        stitch_method: str = "trim",
+        skip_read_ids: Iterable[str] = (),
+        num_workers: int = 4,
+        meter: ThroughputMeter | None = None,
+        write_format: str = "fastq",
+        done_log=None,
+    ) -> ThroughputMeter:
+        """Basecall `files`, writing FASTQ/FASTA records to text file `out`.
+
+        `done_log`: optional file handle; completed read ids are appended
+        one per line (resume support — pass previous contents as
+        `skip_read_ids` on restart)."""
+        from nanodecoder_tpu.io.fastx import write_fasta, write_fastq
+
+        cfg = self.config
+        skip = set(skip_read_ids)
+        pipe = AsyncChunkPipeline(
+            files, cfg.signal, cfg.decode.batch_chunks, num_workers=num_workers
+        ).start()
+        meter = meter or ThroughputMeter(n_reads=0)
+
+        # per-read assembly state
+        per_read: dict[int, dict[int, tuple[np.ndarray, int, np.ndarray]]] = (
+            collections.defaultdict(dict)
+        )
+        in_flight: collections.deque = collections.deque()
+
+        def finish_read(ridx: int) -> None:
+            rc = pipe.reads[ridx]
+            if rc.read.read_id in skip:
+                per_read.pop(ridx, None)
+                return
+            parts = per_read.pop(ridx)
+            cb = rc.chunks
+            seqs, quals = [], []
+            for ci in range(cb.n_chunks):
+                toks, tlen, lps = parts[ci]
+                seqs.append(DNA_VOCAB.decode(toks[:tlen]))
+                quals.append(_phred_from_log_probs(lps[:tlen]))
+            seq = stitch_chunks(
+                seqs, cb.starts, cb.lengths, cb.chunk_len, cb.chunk_overlap,
+                method=stitch_method,
+            )
+            qflat = np.concatenate(quals) if quals else np.zeros(0)
+            mean_q = float(qflat.mean()) if qflat.size else 0.0
+            if write_format == "fastq":
+                write_fastq([(rc.read.read_id, seq, mean_q)], out)
+            else:
+                write_fasta([(rc.read.read_id, seq)], out)
+            if done_log is not None:
+                done_log.write(rc.read.read_id + "\n")
+                done_log.flush()
+            meter.update(rc.read.n_samples, len(seq), cb.n_chunks, 1)
+
+        def drain_one() -> None:
+            dev_out, packed = in_flight.popleft()
+            tokens, tlens, lps = (np.asarray(x) for x in dev_out)
+            for row, (ridx, ci) in enumerate(packed.sources):
+                per_read[ridx][ci] = (tokens[row], int(tlens[row]), lps[row])
+                if len(per_read[ridx]) == pipe.reads[ridx].chunks.n_chunks:
+                    finish_read(ridx)
+
+        try:
+            for packed in pipe.batches():
+                batch = self._place(
+                    {"signal": jnp.asarray(packed.chunks),
+                     "lengths": jnp.asarray(packed.lengths)}
+                )
+                dev_out = self._decode(batch["signal"], batch["lengths"])
+                in_flight.append((dev_out, packed))
+                if len(in_flight) > self.depth:
+                    drain_one()
+            while in_flight:
+                drain_one()
+        finally:
+            pipe.stop()
+        return meter

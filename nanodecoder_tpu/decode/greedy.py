@@ -1,0 +1,79 @@
+"""Greedy (argmax) decoding, fully on device.
+
+Reference analog: onmt/translate/greedy_search.py driven step-by-step
+from Python (SURVEY.md §2.1, §3.2).  Here the loop is one
+`lax.while_loop` inside jit: zero host round-trips until the token
+matrix comes back.
+
+Tie-breaking: `jnp.argmax` returns the lowest index on ties, matching
+torch.argmax/topk semantics (SURVEY.md §7 R2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nanodecoder_tpu.config import ModelConfig
+from nanodecoder_tpu.models.model import decode_step, init_decode_state
+from nanodecoder_tpu.vocab import BOS_ID, EOS_ID, PAD_ID
+
+
+class GreedyResult(NamedTuple):
+    tokens: jnp.ndarray      # (B, max_len) int32, PAD after EOS
+    lengths: jnp.ndarray     # (B,) int32 — tokens emitted incl. EOS
+    token_log_probs: jnp.ndarray  # (B, max_len) f32 — log-prob of chosen token
+    scores: jnp.ndarray      # (B,) f32 — summed log-probs
+
+
+def greedy_decode(params, cfg: ModelConfig, memory, mem_lengths) -> GreedyResult:
+    """Decode every row of a memory-bank batch greedily.
+
+    memory: (B, S, D) encoder output; mem_lengths: (B,).
+    The loop exits early once every row has emitted EOS.
+    """
+    b = memory.shape[0]
+    tmax = cfg.max_decode_len
+    state0 = init_decode_state(params, cfg, memory, mem_lengths)
+
+    init = dict(
+        state=state0,
+        cur=jnp.full((b,), BOS_ID, jnp.int32),
+        tokens=jnp.full((b, tmax), PAD_ID, jnp.int32),
+        lps=jnp.zeros((b, tmax), jnp.float32),
+        finished=jnp.zeros((b,), jnp.bool_),
+        lengths=jnp.zeros((b,), jnp.int32),
+        t=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c):
+        return jnp.logical_and(c["t"] < tmax, ~jnp.all(c["finished"]))
+
+    def body(c):
+        log_probs, _attn, state = decode_step(params, cfg, c["cur"], c["state"])
+        nxt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+        lp = jnp.take_along_axis(log_probs, nxt[:, None], axis=-1)[:, 0]
+        # Finished rows keep emitting PAD with zero score.
+        nxt = jnp.where(c["finished"], PAD_ID, nxt)
+        lp = jnp.where(c["finished"], 0.0, lp)
+        t = c["t"]
+        tokens = jax.lax.dynamic_update_slice_in_dim(c["tokens"], nxt[:, None], t, axis=1)
+        lps = jax.lax.dynamic_update_slice_in_dim(c["lps"], lp[:, None], t, axis=1)
+        now_finished = jnp.logical_or(c["finished"], nxt == EOS_ID)
+        lengths = jnp.where(c["finished"], c["lengths"], t + 1)
+        return dict(
+            state=state, cur=nxt, tokens=tokens, lps=lps,
+            finished=now_finished, lengths=lengths, t=t + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    # Rows that never emitted EOS have length tmax.
+    lengths = jnp.where(out["finished"], out["lengths"], tmax)
+    return GreedyResult(
+        tokens=out["tokens"],
+        lengths=lengths,
+        token_log_probs=out["lps"],
+        scores=jnp.sum(out["lps"], axis=-1),
+    )

@@ -1,0 +1,158 @@
+"""Batch basecall driver: the host-side orchestration around the jitted
+encode+decode program.
+
+Reference analog: onmt/translate/translator.py `Translator.translate` /
+`translate_batch` (SURVEY.md §2.1, §3.2) plus the NanoDecoder basecall
+script's chunk->read assembly.
+
+Responsibilities (host):
+  * normalize + chunk each read (io.signal), pack chunks into
+    fixed-shape device batches (pad the last batch — static shapes),
+  * call ONE jitted program per batch: encode -> full decode loop,
+  * unpack tokens -> strings, compute per-base Phred qualities,
+  * stitch chunks back into per-read sequences (io.stitch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanodecoder_tpu.config import Config
+from nanodecoder_tpu.decode.beam import beam_decode
+from nanodecoder_tpu.decode.greedy import greedy_decode
+from nanodecoder_tpu.io.fast5 import RawRead
+from nanodecoder_tpu.io.signal import chunk_signal, normalize_signal
+from nanodecoder_tpu.io.stitch import stitch_chunks
+from nanodecoder_tpu.models.model import encode
+from nanodecoder_tpu.vocab import DNA_VOCAB
+
+
+@dataclasses.dataclass
+class Basecall:
+    """One basecalled read."""
+
+    read_id: str
+    sequence: str
+    mean_qscore: float
+    n_chunks: int
+    n_samples: int
+
+
+def _phred_from_log_probs(token_lps: np.ndarray) -> np.ndarray:
+    """Per-token Phred score from chosen-token log-probs:
+    q = -10 * log10(1 - p), clamped to [1, 50]."""
+    p = np.exp(np.minimum(token_lps, -1e-7))
+    q = -10.0 * np.log10(np.maximum(1.0 - p, 1e-5))
+    return np.clip(q, 1.0, 50.0)
+
+
+class Translator:
+    """Stateful wrapper owning the compiled decode program.
+
+    One jit cache entry per (batch_chunks, chunk_len) — both are fixed
+    by config, so in steady state there is exactly one compilation.
+    """
+
+    def __init__(self, params, config: Config, donate_state: bool = True):
+        self.params = params
+        self.config = config
+        self.vocab = DNA_VOCAB
+        mode = config.decode.mode
+        if mode == "greedy":
+            self._decode_jit = jax.jit(self._greedy_program)
+        elif mode == "beam":
+            self._decode_jit = jax.jit(self._beam_program)
+        else:
+            raise ValueError(f"unknown decode mode {mode!r}")
+
+    # --- jitted programs -------------------------------------------------
+
+    def _greedy_program(self, signal, lengths):
+        cfg = self.config.model
+        memory, mem_lengths = encode(self.params, cfg, signal, lengths)
+        res = greedy_decode(self.params, cfg, memory, mem_lengths)
+        return res.tokens, res.lengths, res.token_log_probs, res.scores
+
+    def _beam_program(self, signal, lengths):
+        cfg = self.config.model
+        dcfg = self.config.decode
+        memory, mem_lengths = encode(self.params, cfg, signal, lengths)
+        res = beam_decode(self.params, cfg, dcfg, memory, mem_lengths)
+        # Best hypothesis per chunk; mean per-token log-prob approximates
+        # per-base quality for beam mode (exact per-token lps are a
+        # greedy-mode feature).
+        best_tokens = res.tokens[:, 0, :]
+        best_lengths = res.lengths[:, 0]
+        per_tok = res.scores[:, 0] / jnp.maximum(best_lengths.astype(jnp.float32), 1.0)
+        lp_matrix = jnp.broadcast_to(per_tok[:, None], best_tokens.shape)
+        return best_tokens, best_lengths, lp_matrix, res.scores[:, 0]
+
+    # --- chunk-batch plumbing -------------------------------------------
+
+    def decode_chunk_batch(self, chunks: np.ndarray, lengths: np.ndarray):
+        """chunks: (N, chunk_len) -> (tokens, tok_lengths, token_lps, scores)
+        as numpy, with padding rows stripped by the caller."""
+        bsz = self.config.decode.batch_chunks
+        n = chunks.shape[0]
+        out_tok, out_len, out_lps, out_scores = [], [], [], []
+        for i in range(0, n, bsz):
+            batch = chunks[i : i + bsz]
+            blen = lengths[i : i + bsz]
+            real = batch.shape[0]
+            if real < bsz:  # pad to the fixed batch shape
+                batch = np.concatenate(
+                    [batch, np.zeros((bsz - real, batch.shape[1]), batch.dtype)]
+                )
+                blen = np.concatenate([blen, np.zeros((bsz - real,), blen.dtype)])
+            tok, tlen, lps, sc = self._decode_jit(jnp.asarray(batch), jnp.asarray(blen))
+            out_tok.append(np.asarray(tok[:real]))
+            out_len.append(np.asarray(tlen[:real]))
+            out_lps.append(np.asarray(lps[:real]))
+            out_scores.append(np.asarray(sc[:real]))
+        return (
+            np.concatenate(out_tok),
+            np.concatenate(out_len),
+            np.concatenate(out_lps),
+            np.concatenate(out_scores),
+        )
+
+    # --- read-level API --------------------------------------------------
+
+    def basecall_read(self, read: RawRead, stitch_method: str = "trim") -> Basecall:
+        scfg = self.config.signal
+        norm = normalize_signal(
+            read.signal, scfg.normalization, scfg.mad_scale, scfg.clip_sigma
+        )
+        cb = chunk_signal(norm, scfg.chunk_len, scfg.chunk_overlap, scfg.min_chunk_fill)
+        tokens, tok_lengths, token_lps, _scores = self.decode_chunk_batch(
+            cb.chunks, cb.lengths
+        )
+        seqs = [self.vocab.decode(tokens[i, : tok_lengths[i]]) for i in range(cb.n_chunks)]
+        seq = stitch_chunks(
+            seqs, cb.starts, cb.lengths, scfg.chunk_len, scfg.chunk_overlap,
+            method=stitch_method,
+        )
+        # Mean qscore over emitted (non-pad) tokens of all chunks.
+        qs = []
+        for i in range(cb.n_chunks):
+            tl = int(tok_lengths[i])
+            if tl > 0:
+                qs.append(_phred_from_log_probs(token_lps[i, :tl]))
+        mean_q = float(np.mean(np.concatenate(qs))) if qs else 0.0
+        return Basecall(
+            read_id=read.read_id,
+            sequence=seq,
+            mean_qscore=mean_q,
+            n_chunks=cb.n_chunks,
+            n_samples=read.n_samples,
+        )
+
+    def basecall_reads(self, reads: Iterable[RawRead]) -> Iterator[Basecall]:
+        for read in reads:
+            yield self.basecall_read(read)

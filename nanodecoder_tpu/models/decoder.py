@@ -1,0 +1,263 @@
+"""Attention decoders: transformer (KV cache) and input-feed RNN (Luong).
+
+Reference analog (SURVEY.md §2.1): onmt/decoders/transformer.py (self +
+cross attention, incremental per-layer state cache — the reference's
+KV-cache analog) and onmt/decoders/decoder.py (InputFeedRNNDecoder with
+GlobalAttention).
+
+TPU-first re-design: the decoder exposes TWO pure entry points —
+
+  decode_teacher_forced(params, cfg, tgt_in, memory, ...) — full-T pass
+      for training (all timesteps at once, causal mask; MXU-sized
+      matmuls instead of the reference's per-step python loop).
+
+  decoder_step(params, cfg, token_emb, state) -> (hidden, new_state) —
+      one-token step with explicit state, shaped so the entire decode
+      loop fits inside `lax.while_loop` on device (SURVEY.md §3.2: the
+      reference's key inefficiency is one host round-trip per token).
+
+State layout (all fixed-shape, donated across steps):
+  transformer: per layer {k: (B, Tmax, H, Dh), v: ...} self cache written
+      with dynamic_update_slice at `step`, plus precomputed cross K/V.
+  rnn: per layer (h, c) + input-feed context vector.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from nanodecoder_tpu.config import ModelConfig
+from nanodecoder_tpu.models import modules as nn
+from nanodecoder_tpu.models.encoder import init_lstm_cell, lstm_cell
+
+
+# ---------------------------------------------------------------------------
+# transformer decoder
+
+
+def init_transformer_decoder(key, cfg: ModelConfig):
+    keys = jax.random.split(key, cfg.dec_layers)
+    layers = []
+    for k in keys:
+        k1, k2, k3 = jax.random.split(k, 3)
+        layers.append(
+            {
+                "ln1": nn.init_layer_norm(cfg.d_model),
+                "self_attn": nn.init_mha(k1, cfg.d_model, cfg.dec_heads),
+                "ln2": nn.init_layer_norm(cfg.d_model),
+                "cross_attn": nn.init_mha(k2, cfg.d_model, cfg.dec_heads),
+                "ln3": nn.init_layer_norm(cfg.d_model),
+                "ffn": nn.init_ffn(k3, cfg.d_model, cfg.dec_ffn_dim),
+            }
+        )
+    return {"layers": layers, "ln_out": nn.init_layer_norm(cfg.d_model)}
+
+
+def transformer_decoder_forced(p, cfg: ModelConfig, y, memory, mem_lengths,
+                               rng=None, train=False):
+    """Teacher-forced full-sequence pass.
+    y: (B, T, D) embedded target inputs; memory: (B, S, D).
+    Returns hidden states (B, T, D) and the last layer's cross-attention
+    probs (B, H, T, S) (reference parity: attention maps are surfaced to
+    the translation builder, SURVEY.md §2.1)."""
+    t = y.shape[1]
+    s = memory.shape[1]
+    self_mask = nn.causal_mask(t)
+    cross_mask = nn.length_mask(mem_lengths, s)[:, None, None, :]
+    attn_probs = None
+    for layer in p["layers"]:
+        r1 = r2 = r3 = None
+        if train and rng is not None:
+            rng, r1, r2, r3 = jax.random.split(rng, 4)
+        h = nn.layer_norm(layer["ln1"], y)
+        a, _ = nn.mha(layer["self_attn"], cfg.dec_heads, h, h, self_mask)
+        y = y + nn.dropout(a, cfg.dropout, r1, train)
+        h = nn.layer_norm(layer["ln2"], y)
+        a, attn_probs = nn.mha(layer["cross_attn"], cfg.dec_heads, h, memory, cross_mask)
+        y = y + nn.dropout(a, cfg.dropout, r2, train)
+        h = nn.layer_norm(layer["ln3"], y)
+        f = nn.ffn(layer["ffn"], h, cfg.dropout, r3, train)
+        y = y + nn.dropout(f, cfg.dropout, r3, train)
+    return nn.layer_norm(p["ln_out"], y), attn_probs
+
+
+def init_transformer_cache(p, cfg: ModelConfig, memory, mem_lengths, batch: int,
+                           dtype) -> dict[str, Any]:
+    """Build the fixed-shape decode state: precompute cross K/V per layer
+    (memory projections happen once per chunk batch, not once per token)
+    and allocate zeroed self-attention caches of length max_decode_len."""
+    tmax = cfg.max_decode_len
+    h, dh = cfg.dec_heads, cfg.d_model // cfg.dec_heads
+    layers = []
+    for layer in p["layers"]:
+        ck, cv = nn.mha_project_kv(layer["cross_attn"], cfg.dec_heads, memory)
+        layers.append(
+            {
+                "self_k": jnp.zeros((batch, tmax, h, dh), dtype),
+                "self_v": jnp.zeros((batch, tmax, h, dh), dtype),
+                "cross_k": ck,
+                "cross_v": cv,
+            }
+        )
+    s = memory.shape[1]
+    return {
+        "layers": layers,
+        "cross_mask": nn.length_mask(mem_lengths, s)[:, None, None, :],
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
+    """One-token decode. y1: (B, 1, D) embedded current token.
+    Returns (hidden (B, 1, D), cross-attn probs (B, H, 1, S), new state)."""
+    step = state["step"]
+    tmax = cfg.max_decode_len
+    # Self-attention key mask: positions <= step are valid.
+    pos = jnp.arange(tmax)
+    self_mask = (pos <= step)[None, None, None, :]  # (1,1,1,Tmax)
+    new_layers = []
+    attn_probs = None
+    for layer, cache in zip(p["layers"], state["layers"]):
+        h = nn.layer_norm(layer["ln1"], y1)
+        # Project this token's K/V and write them into the cache at `step`.
+        k1 = nn._split_heads(nn.dense(layer["self_attn"]["k"], h), cfg.dec_heads)
+        v1 = nn._split_heads(nn.dense(layer["self_attn"]["v"], h), cfg.dec_heads)
+        self_k = jax.lax.dynamic_update_slice_in_dim(cache["self_k"], k1, step, axis=1)
+        self_v = jax.lax.dynamic_update_slice_in_dim(cache["self_v"], v1, step, axis=1)
+        a, _ = nn.mha_step(layer["self_attn"], cfg.dec_heads, h, self_k, self_v, self_mask)
+        y1 = y1 + a
+        h = nn.layer_norm(layer["ln2"], y1)
+        a, attn_probs = nn.mha_step(
+            layer["cross_attn"], cfg.dec_heads, h,
+            cache["cross_k"], cache["cross_v"], state["cross_mask"],
+        )
+        y1 = y1 + a
+        h = nn.layer_norm(layer["ln3"], y1)
+        y1 = y1 + nn.ffn(layer["ffn"], h)
+        new_layers.append({**cache, "self_k": self_k, "self_v": self_v})
+    out = nn.layer_norm(p["ln_out"], y1)
+    new_state = {**state, "layers": new_layers, "step": step + 1}
+    return out, attn_probs, new_state
+
+
+# ---------------------------------------------------------------------------
+# input-feed RNN decoder with Luong attention (reference-parity path)
+
+
+def init_global_attention(key, d_model: int, score: str):
+    """Luong attention (reference: onmt/modules/global_attention.py).
+    score: dot | general | mlp.  The score *type* lives in ModelConfig,
+    not in the params pytree (pytree leaves must be arrays)."""
+    p: dict[str, Any] = {}
+    if score == "general":
+        p["wa"] = nn.init_dense(key, d_model, d_model, use_bias=False)
+    elif score == "mlp":
+        k1, k2, k3 = jax.random.split(key, 3)
+        p["wq"] = nn.init_dense(k1, d_model, d_model, use_bias=False)
+        p["wk"] = nn.init_dense(k2, d_model, d_model, use_bias=True)
+        p["va"] = nn.init_dense(k3, d_model, 1, use_bias=False)
+    k_out = jax.random.fold_in(key, 7)
+    p["wo"] = nn.init_dense(k_out, 2 * d_model, d_model, use_bias=(score == "mlp"))
+    return p
+
+
+def global_attention(p, query, memory, mem_mask, score_type: str = "general"):
+    """query: (B, D); memory: (B, S, D); mem_mask: (B, S) bool.
+    Returns (attended context->output (B, D), probs (B, S))."""
+    if score_type == "dot":
+        scores = jnp.einsum("bd,bsd->bs", query, memory, preferred_element_type=jnp.float32)
+    elif score_type == "general":
+        scores = jnp.einsum("bd,bsd->bs", nn.dense(p["wa"], query), memory,
+                            preferred_element_type=jnp.float32)
+    elif score_type == "mlp":
+        q = nn.dense(p["wq"], query)[:, None, :]
+        k = nn.dense(p["wk"], memory)
+        scores = nn.dense(p["va"], jnp.tanh(q + k))[..., 0].astype(jnp.float32)
+    else:
+        raise ValueError(f"unknown attention score {score_type!r}")
+    scores = jnp.where(mem_mask, scores, nn.NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bs,bsd->bd", probs.astype(memory.dtype), memory)
+    out = jnp.tanh(nn.dense(p["wo"], jnp.concatenate([ctx, query], axis=-1)))
+    return out, probs
+
+
+def init_rnn_decoder(key, cfg: ModelConfig):
+    keys = jax.random.split(key, cfg.dec_layers + 1)
+    layers = []
+    # Input-feed: first layer consumes [embedding ; prev attn output].
+    in_dim = 2 * cfg.d_model
+    for k in keys[: cfg.dec_layers]:
+        layers.append(init_lstm_cell(k, in_dim, cfg.d_model))
+        in_dim = cfg.d_model
+    return {
+        "layers": layers,
+        "attn": init_global_attention(keys[-1], cfg.d_model, cfg.rnn_attention),
+    }
+
+
+def init_rnn_state(cfg: ModelConfig, memory, mem_lengths, batch: int, dtype):
+    d = cfg.d_model
+    return {
+        "hidden": [
+            {"h": jnp.zeros((batch, d), dtype), "c": jnp.zeros((batch, d), dtype)}
+            for _ in range(cfg.dec_layers)
+        ],
+        "input_feed": jnp.zeros((batch, d), dtype),
+        "memory": memory,
+        "mem_mask": nn.length_mask(mem_lengths, memory.shape[1]),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def rnn_decoder_step(p, cfg: ModelConfig, y1, state):
+    """One input-feed RNN step. y1: (B, 1, D) embedded token."""
+    x = jnp.concatenate([y1[:, 0, :], state["input_feed"]], axis=-1)
+    new_hidden = []
+    for cell, hc in zip(p["layers"], state["hidden"]):
+        h, c = lstm_cell(cell, x, hc["h"], hc["c"])
+        new_hidden.append({"h": h, "c": c})
+        x = h
+    attn_out, probs = global_attention(p["attn"], x, state["memory"], state["mem_mask"],
+                                       cfg.rnn_attention)
+    new_state = {
+        **state,
+        "hidden": new_hidden,
+        "input_feed": attn_out,
+        "step": state["step"] + 1,
+    }
+    return attn_out[:, None, :], probs[:, None, None, :], new_state
+
+
+def rnn_decoder_forced(p, cfg: ModelConfig, y, memory, mem_lengths,
+                       rng=None, train=False):
+    """Teacher-forced RNN decode via lax.scan over time.
+    y: (B, T, D). Returns (hidden (B, T, D), attn (B, 1, T, S))."""
+    b = y.shape[0]
+    dtype = y.dtype
+    state0 = init_rnn_state(cfg, memory, mem_lengths, b, dtype)
+    hidden0 = [(hc["h"], hc["c"]) for hc in state0["hidden"]]
+    mem_mask = state0["mem_mask"]
+
+    def step(carry, y_t):
+        hidden, input_feed = carry
+        x = jnp.concatenate([y_t, input_feed], axis=-1)
+        new_hidden = []
+        for cell, (h, c) in zip(p["layers"], hidden):
+            h, c = lstm_cell(cell, x, h, c)
+            new_hidden.append((h, c))
+            x = h
+        attn_out, probs = global_attention(p["attn"], x, memory, mem_mask,
+                                           cfg.rnn_attention)
+        return (new_hidden, attn_out), (attn_out, probs)
+
+    ys = y.transpose(1, 0, 2)  # (T, B, D)
+    (_, _), (outs, probs) = jax.lax.scan(
+        step, (hidden0, state0["input_feed"]), ys
+    )
+    hidden = outs.transpose(1, 0, 2)
+    attn = probs.transpose(1, 0, 2)[:, None, :, :]  # (B, 1, T, S)
+    return hidden, attn

@@ -1,0 +1,218 @@
+"""Signal encoders: conv front-end + (transformer | biLSTM) body.
+
+Reference analog (SURVEY.md §2.1): the audio-style conv front-end that
+downsamples raw samples in time, feeding either an RNN encoder
+(onmt/encoders/rnn_encoder.py) or a transformer encoder
+(onmt/encoders/transformer.py).  Both bodies produce a memory bank the
+decoder cross-attends over.
+
+TPU-first re-design:
+  * conv stack uses NWC `lax.conv_general_dilated` with SAME padding and
+    static strides — XLA maps these onto the MXU.
+  * transformer body is the flagship (pure matmul, MXU-friendly).
+  * the biLSTM body exists for reference parity; it runs as a single
+    fused `lax.scan` over time with both directions batched together in
+    one cell matmul (one scan, 2x batch) instead of the reference's
+    cuDNN call.
+  * valid-sample masks are carried through downsampling so padded tail
+    chunks attend correctly (SURVEY.md §7 R4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nanodecoder_tpu.config import ModelConfig
+from nanodecoder_tpu.models import modules as nn
+
+
+# ---------------------------------------------------------------------------
+# conv front-end
+
+
+def init_conv_frontend(key, cfg: ModelConfig):
+    layers = []
+    in_ch = 1
+    keys = jax.random.split(key, len(cfg.conv_channels) + 1)
+    for i, (ch, ker) in enumerate(zip(cfg.conv_channels, cfg.conv_kernels)):
+        w = nn.glorot(keys[i], (ker, in_ch, ch))  # (width, in, out) for NWC
+        layers.append({"w": w, "b": jnp.zeros((ch,), jnp.float32)})
+        in_ch = ch
+    proj = nn.init_dense(keys[-1], in_ch, cfg.d_model)
+    return {"convs": layers, "proj": proj, "ln": nn.init_layer_norm(cfg.d_model)}
+
+
+def conv_frontend(p, cfg: ModelConfig, signal, lengths):
+    """signal: (B, S) float; lengths: (B,) valid samples.
+    Returns (x, out_lengths): x (B, S', d_model), S' = S / prod(strides)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    x = signal.astype(dtype)[:, :, None]  # (B, S, 1) NWC
+    out_lengths = lengths
+    for layer, stride in zip(p["convs"], cfg.conv_strides):
+        x = jax.lax.conv_general_dilated(
+            x,
+            layer["w"].astype(dtype),
+            window_strides=(stride,),
+            padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        x = jax.nn.relu(x + layer["b"].astype(dtype))
+        out_lengths = jnp.ceil(out_lengths / stride).astype(lengths.dtype)
+    x = nn.dense(p["proj"], x)
+    x = nn.layer_norm(p["ln"], x)
+    return x, out_lengths
+
+
+# ---------------------------------------------------------------------------
+# transformer encoder body
+
+
+def init_transformer_encoder(key, cfg: ModelConfig):
+    keys = jax.random.split(key, cfg.enc_layers)
+    layers = []
+    for k in keys:
+        k1, k2 = jax.random.split(k)
+        layers.append(
+            {
+                "ln1": nn.init_layer_norm(cfg.d_model),
+                "attn": nn.init_mha(k1, cfg.d_model, cfg.enc_heads),
+                "ln2": nn.init_layer_norm(cfg.d_model),
+                "ffn": nn.init_ffn(k2, cfg.d_model, cfg.enc_ffn_dim),
+            }
+        )
+    return {"layers": layers, "ln_out": nn.init_layer_norm(cfg.d_model)}
+
+
+def transformer_encoder(p, cfg: ModelConfig, x, enc_lengths, rng=None, train=False):
+    """Pre-norm transformer over the downsampled signal.
+    x: (B, T, D); enc_lengths: (B,).  Returns memory bank (B, T, D)."""
+    t = x.shape[1]
+    valid = nn.length_mask(enc_lengths, t)  # (B, T)
+    attn_mask = valid[:, None, None, :]  # (B, 1, 1, T) keys masked
+    for i, layer in enumerate(p["layers"]):
+        r1 = r2 = None
+        if train and rng is not None:
+            rng, r1, r2 = jax.random.split(rng, 3)
+        h = nn.layer_norm(layer["ln1"], x)
+        a, _ = nn.mha(layer["attn"], cfg.enc_heads, h, h, attn_mask,
+                      cfg.dropout, r1, train)
+        x = x + nn.dropout(a, cfg.dropout, r1, train)
+        h = nn.layer_norm(layer["ln2"], x)
+        f = nn.ffn(layer["ffn"], h, cfg.dropout, r2, train)
+        x = x + nn.dropout(f, cfg.dropout, r2, train)
+    x = nn.layer_norm(p["ln_out"], x)
+    # Zero padded positions so downstream consumers can't leak them.
+    return x * valid[:, :, None].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# biLSTM encoder body (reference-parity path)
+
+
+def init_lstm_cell(key, in_dim: int, hidden: int):
+    k1, k2 = jax.random.split(key)
+    return {
+        "wx": nn.glorot(k1, (in_dim, 4 * hidden)),
+        "wh": nn.glorot(k2, (hidden, 4 * hidden)),
+        "b": jnp.zeros((4 * hidden,), jnp.float32),
+    }
+
+
+def lstm_cell(p, x_t, h, c):
+    """Standard LSTM cell; gate order i, f, g, o."""
+    gates = x_t @ p["wx"].astype(x_t.dtype) + h @ p["wh"].astype(x_t.dtype) + p["b"].astype(x_t.dtype)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+    g = jnp.tanh(g)
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+def init_lstm_encoder(key, cfg: ModelConfig):
+    """Stacked biLSTM: each layer has one fwd and one bwd cell; layer
+    output is the concat projected back to d_model."""
+    layers = []
+    keys = jax.random.split(key, cfg.enc_layers)
+    in_dim = cfg.d_model
+    for k in keys:
+        kf, kb, kp = jax.random.split(k, 3)
+        layers.append(
+            {
+                "fwd": init_lstm_cell(kf, in_dim, cfg.lstm_hidden),
+                "bwd": init_lstm_cell(kb, in_dim, cfg.lstm_hidden),
+                "proj": nn.init_dense(kp, 2 * cfg.lstm_hidden, cfg.d_model),
+            }
+        )
+        in_dim = cfg.d_model
+    return {"layers": layers, "ln_out": nn.init_layer_norm(cfg.d_model)}
+
+
+def _lstm_direction(cell, xs, h0, c0, reverse: bool):
+    """Scan one direction over time. xs: (T, B, D)."""
+
+    def step(carry, x_t):
+        h, c = carry
+        h, c = lstm_cell(cell, x_t, h, c)
+        return (h, c), h
+
+    _, ys = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    return ys  # (T, B, H)
+
+
+def lstm_encoder(p, cfg: ModelConfig, x, enc_lengths, rng=None, train=False):
+    """x: (B, T, D) -> memory bank (B, T, D).
+
+    Padded positions are zeroed on input of each layer; the backward
+    direction scans the full padded buffer (padding contributes zeros,
+    and outputs at padded positions are masked out at the end), which
+    keeps shapes static — the tradeoff vs the reference's
+    pack_padded_sequence (SURVEY.md §3.4) is a little wasted compute for
+    zero host-side bookkeeping."""
+    b, t, _ = x.shape
+    valid = nn.length_mask(enc_lengths, t)  # (B, T)
+    vmask = valid.T[:, :, None]  # (T, B, 1)
+    hdim = cfg.lstm_hidden
+    dtype = x.dtype
+    xs = x.transpose(1, 0, 2)  # (T, B, D)
+    for layer in p["layers"]:
+        xs = xs * vmask.astype(dtype)
+        h0 = jnp.zeros((b, hdim), dtype)
+        c0 = jnp.zeros((b, hdim), dtype)
+        yf = _lstm_direction(layer["fwd"], xs, h0, c0, reverse=False)
+        yb = _lstm_direction(layer["bwd"], xs, h0, c0, reverse=True)
+        xs = nn.dense(layer["proj"], jnp.concatenate([yf, yb], axis=-1))
+    out = xs.transpose(1, 0, 2)
+    out = nn.layer_norm(p["ln_out"], out)
+    return out * valid[:, :, None].astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# full encoder
+
+
+def init_encoder(key, cfg: ModelConfig):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {"frontend": init_conv_frontend(k1, cfg)}
+    if cfg.encoder_type == "transformer":
+        p["body"] = init_transformer_encoder(k2, cfg)
+    elif cfg.encoder_type == "lstm":
+        p["body"] = init_lstm_encoder(k2, cfg)
+    else:
+        raise ValueError(f"unknown encoder_type {cfg.encoder_type!r}")
+    del k3
+    return p
+
+
+def encoder_apply(p, cfg: ModelConfig, signal, lengths, rng=None, train=False):
+    """signal (B, S), lengths (B,) -> (memory_bank (B, T, D), enc_lengths (B,))."""
+    x, enc_lengths = conv_frontend(p["frontend"], cfg, signal, lengths)
+    if cfg.encoder_type == "transformer":
+        pe = nn.sinusoidal_positions(x.shape[1], cfg.d_model).astype(x.dtype)
+        x = x + pe[None, :, :]
+        mem = transformer_encoder(p["body"], cfg, x, enc_lengths, rng, train)
+    else:
+        mem = lstm_encoder(p["body"], cfg, x, enc_lengths, rng, train)
+    return mem, enc_lengths

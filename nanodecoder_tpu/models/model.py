@@ -1,0 +1,140 @@
+"""Seq2seq model container + builder.
+
+Reference analog (SURVEY.md §2.1): onmt/models/model.py (NMTModel glues
+encoder+decoder) and onmt/model_builder.py (build_model constructs from
+opts, builds the generator Linear->LogSoftmax over the base vocab).
+
+The container is a set of pure functions over one params pytree:
+  init_model(rng, cfg)                  -> params
+  encode(params, cfg, signal, lengths)  -> (memory, enc_lengths)
+  init_decode_state(...)                -> fixed-shape decode state
+  decode_step(params, cfg, tokens, st)  -> (log_probs, attn, new state)
+  decode_teacher_forced(...)            -> per-step log-probs (training)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nanodecoder_tpu.config import ModelConfig
+from nanodecoder_tpu.models import modules as nn
+from nanodecoder_tpu.models import decoder as dec
+from nanodecoder_tpu.models.encoder import encoder_apply, init_encoder
+
+
+def init_model(rng, cfg: ModelConfig):
+    k_enc, k_dec, k_emb, k_gen = jax.random.split(rng, 4)
+    params = {
+        "encoder": init_encoder(k_enc, cfg),
+        "tgt_embed": nn.init_embedding(k_emb, cfg.vocab_size, cfg.d_model),
+        "generator": nn.init_dense(k_gen, cfg.d_model, cfg.vocab_size),
+    }
+    if cfg.decoder_type == "transformer":
+        params["decoder"] = dec.init_transformer_decoder(k_dec, cfg)
+    elif cfg.decoder_type == "rnn":
+        params["decoder"] = dec.init_rnn_decoder(k_dec, cfg)
+    else:
+        raise ValueError(f"unknown decoder_type {cfg.decoder_type!r}")
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def encode(params, cfg: ModelConfig, signal, lengths, rng=None, train=False):
+    """Raw signal chunk batch -> memory bank."""
+    return encoder_apply(params["encoder"], cfg, signal, lengths, rng, train)
+
+
+def _embed_tokens(params, cfg: ModelConfig, tokens, positions=None):
+    """tokens (B, T) int32 -> (B, T, D) with scaling + positional enc.
+
+    `positions` (int or (T,) array) selects rows of the sinusoidal
+    table — needed for single-step decode where T=1 but the absolute
+    position is `step`."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    y = nn.embed(params["tgt_embed"], tokens, dtype)
+    y = y * jnp.asarray(jnp.sqrt(float(cfg.d_model)), dtype)
+    if cfg.decoder_type == "transformer":
+        pe = nn.sinusoidal_positions(cfg.max_decode_len + 1, cfg.d_model).astype(dtype)
+        if positions is None:
+            y = y + pe[None, : tokens.shape[1], :]
+        else:
+            y = y + pe[positions][None, None, :]
+    return y
+
+
+def generator_logits(params, hidden):
+    """hidden (..., D) -> vocab logits in f32 (R2: parity at argmax)."""
+    h = hidden.astype(jnp.float32)
+    return h @ params["generator"]["w"] + params["generator"]["b"]
+
+
+def generator_log_probs(params, hidden):
+    return jax.nn.log_softmax(generator_logits(params, hidden), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# training pass
+
+
+def decode_teacher_forced(params, cfg: ModelConfig, tgt_in, memory, mem_lengths,
+                          rng=None, train=False):
+    """Full teacher-forced decode: tgt_in (B, T) int32 (BOS-prefixed)
+    -> log-probs (B, T, V)."""
+    y = _embed_tokens(params, cfg, tgt_in)
+    if cfg.decoder_type == "transformer":
+        hidden, attn = dec.transformer_decoder_forced(
+            params["decoder"], cfg, y, memory, mem_lengths, rng, train
+        )
+    else:
+        hidden, attn = dec.rnn_decoder_forced(
+            params["decoder"], cfg, y, memory, mem_lengths, rng, train
+        )
+    return generator_log_probs(params, hidden), attn
+
+
+# ---------------------------------------------------------------------------
+# incremental decode
+
+
+def init_decode_state(params, cfg: ModelConfig, memory, mem_lengths):
+    batch = memory.shape[0]
+    dtype = memory.dtype
+    if cfg.decoder_type == "transformer":
+        return dec.init_transformer_cache(
+            params["decoder"], cfg, memory, mem_lengths, batch, dtype
+        )
+    return dec.init_rnn_state(cfg, memory, mem_lengths, batch, dtype)
+
+
+def decode_step(params, cfg: ModelConfig, tokens, state):
+    """One decode step.  tokens: (B,) int32 current input tokens.
+    Returns (log_probs (B, V) f32, cross-attn (B, S), new_state)."""
+    y1 = _embed_tokens(params, cfg, tokens[:, None], positions=state["step"])
+    if cfg.decoder_type == "transformer":
+        hidden, attn, new_state = dec.transformer_decoder_step(
+            params["decoder"], cfg, y1, state
+        )
+        attn_mean = jnp.mean(attn[:, :, 0, :], axis=1)  # (B, S) mean over heads
+    else:
+        hidden, attn, new_state = dec.rnn_decoder_step(params["decoder"], cfg, y1, state)
+        attn_mean = attn[:, 0, 0, :]
+    log_probs = generator_log_probs(params, hidden[:, 0, :])
+    return log_probs, attn_mean, new_state
+
+
+def reorder_decode_state(state, origin_idx):
+    """Gather all batch-major state rows by `origin_idx` — the beam
+    reorder (reference analog: index_select of decoder cache rows by
+    beam origin, SURVEY.md §3.5).  Works for both decoder types since
+    every array in the state is batch-major except `step` (scalar)."""
+
+    def gather(x):
+        if x.ndim == 0:
+            return x
+        return x[origin_idx]
+
+    return jax.tree_util.tree_map(gather, state)

@@ -1,0 +1,154 @@
+"""Training data pipeline + synthetic nanopore signal simulator.
+
+Reference analog: preprocess.py + the lazy shard iterator
+(SURVEY.md §2.1 'Preprocess entry', §3.3) — the reference pairs signal
+chunks with ground-truth base labels produced offline.
+
+Because the reference mount is empty this round (SURVEY.md §0, §7 R1),
+the framework ships a *simulator* producing nanopore-like signal from
+random DNA: each base emits a dwell of D~Gamma samples at a
+base/context-dependent current level plus noise — enough structure that
+a seq2seq model genuinely has to learn alignment + classification, and
+enough to exercise the full train->basecall->stitch->parity loop.
+Real-data ingest drops into the same `examples -> batches` API.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import numpy as np
+
+from nanodecoder_tpu.config import Config
+from nanodecoder_tpu.vocab import BOS_ID, EOS_ID, PAD_ID
+
+
+@dataclasses.dataclass
+class SimSpec:
+    """Nanopore-ish signal model: 3-mer context current levels."""
+
+    mean_dwell: float = 9.0      # samples per base
+    dwell_shape: float = 3.0     # gamma shape (dwell jitter)
+    noise_sigma: float = 0.25    # gaussian current noise
+    context: int = 3             # k-mer size driving the level table
+    seed: int = 1234
+
+    def level_table(self) -> np.ndarray:
+        """(4**context,) current levels in 'normalized pA', fixed by seed."""
+        rng = np.random.default_rng(self.seed)
+        return rng.normal(0.0, 1.0, size=4 ** self.context).astype(np.float32)
+
+
+def simulate_read(
+    rng: np.random.Generator,
+    n_bases: int,
+    spec: SimSpec,
+    levels: np.ndarray | None = None,
+) -> tuple[str, np.ndarray]:
+    """Random DNA -> (sequence, float32 signal) under the simulator."""
+    if levels is None:
+        levels = spec.level_table()
+    bases = rng.integers(0, 4, size=n_bases)
+    k = spec.context
+    # Context index of base i: bases[i-k+1..i] as a base-4 number (edges clamp).
+    padded = np.concatenate([np.full(k - 1, bases[0]), bases])
+    ctx_idx = np.zeros(n_bases, np.int64)
+    for j in range(k):
+        ctx_idx = ctx_idx * 4 + padded[j : j + n_bases]
+    dwells = np.maximum(
+        rng.gamma(spec.dwell_shape, spec.mean_dwell / spec.dwell_shape, size=n_bases),
+        1.0,
+    ).astype(np.int64)
+    sig = np.repeat(levels[ctx_idx], dwells)
+    sig = sig + rng.normal(0.0, spec.noise_sigma, size=sig.shape[0]).astype(np.float32)
+    seq = "".join("ACGT"[b] for b in bases)
+    return seq, sig.astype(np.float32)
+
+
+def _bases_fitting(chunk_len: int, mean_dwell: float, max_tokens: int) -> int:
+    """Bases that fit a chunk with slack for EOS + dwell variance."""
+    est = int(chunk_len / mean_dwell)
+    return min(est, max_tokens - 2)
+
+
+def make_example(
+    rng: np.random.Generator,
+    config: Config,
+    spec: SimSpec,
+    levels: np.ndarray,
+) -> dict[str, np.ndarray]:
+    """One (signal chunk, target) training pair with static shapes.
+
+    signal: (chunk_len,) f32 (zero-padded), sig_length: () i32,
+    tgt_in: (T,) i32 = BOS + bases, tgt_out: (T,) i32 = bases + EOS,
+    both PAD-padded to T = max_decode_len.
+    """
+    scfg, mcfg = config.signal, config.model
+    tmax = mcfg.max_decode_len
+    # Draw a length so targets always fit; sometimes short (padding path).
+    max_b = _bases_fitting(scfg.chunk_len, spec.mean_dwell * 1.3, tmax)
+    n_bases = int(rng.integers(max(4, max_b // 2), max_b + 1))
+    seq, sig = simulate_read(rng, n_bases, spec, levels)
+    # The label is the full sequence; truncate signal to the chunk.
+    if sig.shape[0] > scfg.chunk_len:
+        # Re-draw proportionally shorter (cheap rejection step).
+        keep = int(n_bases * scfg.chunk_len / sig.shape[0] * 0.95)
+        keep = max(keep, 1)
+        seq, sig = simulate_read(rng, keep, spec, levels)
+        sig = sig[: scfg.chunk_len]
+        seq = seq[: tmax - 1]
+
+    signal = np.zeros(scfg.chunk_len, np.float32)
+    n = min(sig.shape[0], scfg.chunk_len)
+    signal[:n] = sig[:n]
+    # Normalize like inference does (mean/std here; the simulator is
+    # already roughly centered, MAD ~ meanstd for gaussian-ish data).
+    from nanodecoder_tpu.io.signal import normalize_signal
+
+    signal[:n] = normalize_signal(signal[:n], scfg.normalization, scfg.mad_scale,
+                                  scfg.clip_sigma)
+
+    ids = np.array([{"A": 4, "C": 5, "G": 6, "T": 7}[c] for c in seq], np.int32)
+    tgt_in = np.full(tmax, PAD_ID, np.int32)
+    tgt_out = np.full(tmax, PAD_ID, np.int32)
+    L = ids.shape[0]
+    tgt_in[0] = BOS_ID
+    tgt_in[1 : L + 1] = ids[: tmax - 1]
+    tgt_out[:L] = ids[: tmax]
+    tgt_out[L] = EOS_ID
+    return {
+        "signal": signal,
+        "sig_lengths": np.int32(n),
+        "tgt_in": tgt_in,
+        "tgt_out": tgt_out,
+    }
+
+
+def synthetic_batches(
+    config: Config,
+    spec: SimSpec | None = None,
+    seed: int = 0,
+    accum_axis: bool = True,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Infinite iterator of batch pytrees shaped for make_train_step:
+    (A, B, ...) when accum_axis else (B, ...)."""
+    spec = spec or SimSpec()
+    levels = spec.level_table()
+    rng = np.random.default_rng(seed)
+    a = config.train.accum_steps
+    b = config.train.batch_size
+    count = a * b if accum_axis else b
+    while True:
+        exs = [make_example(rng, config, spec, levels) for _ in range(count)]
+        batch = {k: np.stack([e[k] for e in exs]) for k in exs[0]}
+        if accum_axis:
+            batch = {k: v.reshape((a, b) + v.shape[1:]) for k, v in batch.items()}
+        yield batch
+
+
+def synthetic_valid_batches(config: Config, n_batches: int = 4, seed: int = 999,
+                            spec: SimSpec | None = None):
+    """Finite list of micro-batches (B, ...) for validation."""
+    it = synthetic_batches(config, spec=spec, seed=seed, accum_axis=False)
+    return [next(it) for _ in range(n_batches)]

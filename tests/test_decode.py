@@ -1,0 +1,172 @@
+"""Decode-semantics tests: greedy + beam vs slow, obviously-correct
+numpy oracles (SURVEY.md §4 consequence 2), including EOS, length
+penalty, and tie-break behavior."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanodecoder_tpu.config import tiny_test_config
+from nanodecoder_tpu.decode.beam import beam_decode
+from nanodecoder_tpu.decode.greedy import greedy_decode
+from nanodecoder_tpu.decode.penalties import length_penalty
+from nanodecoder_tpu.models.model import decode_step, encode, init_decode_state, init_model
+from nanodecoder_tpu.vocab import BOS_ID, EOS_ID, PAD_ID
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config().model
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(7)
+    b, s = 3, 256
+    signal = jnp.asarray(rng.normal(size=(b, s)).astype(np.float32))
+    lengths = jnp.array([256, 256, 120], jnp.int32)
+    memory, mem_len = encode(params, cfg, signal, lengths)
+    return cfg, params, memory, mem_len
+
+
+# ---------------------------------------------------------------------------
+# numpy oracles driving the same decode_step
+
+
+def oracle_greedy(params, cfg, memory, mem_len, tmax):
+    b = memory.shape[0]
+    state = init_decode_state(params, cfg, memory, mem_len)
+    cur = np.full((b,), BOS_ID, np.int32)
+    toks = np.full((b, tmax), PAD_ID, np.int32)
+    lps = np.zeros((b, tmax), np.float32)
+    finished = np.zeros((b,), bool)
+    lengths = np.full((b,), tmax, np.int32)
+    for t in range(tmax):
+        if finished.all():
+            break
+        lp, _a, state = decode_step(params, cfg, jnp.asarray(cur), state)
+        lp = np.asarray(lp)
+        nxt = lp.argmax(-1).astype(np.int32)
+        chosen = lp[np.arange(b), nxt]
+        nxt = np.where(finished, PAD_ID, nxt)
+        chosen = np.where(finished, 0.0, chosen)
+        toks[:, t] = nxt
+        lps[:, t] = chosen
+        newly = (~finished) & (nxt == EOS_ID)
+        lengths = np.where(newly, t + 1, lengths)
+        finished |= newly
+        cur = nxt
+    return toks, lengths, lps
+
+
+def oracle_beam(params, cfg, dcfg, memory, mem_len):
+    """Slow per-chunk beam search with the alive/finished semantics:
+    2K candidates, alive excludes EOS, finished keeps top-K penalized."""
+    b = memory.shape[0]
+    k, v, tmax = dcfg.beam_size, cfg.vocab_size, cfg.max_decode_len
+    results = []
+    for bi in range(b):
+        mem_i = jnp.repeat(memory[bi : bi + 1], k, axis=0)
+        len_i = jnp.repeat(mem_len[bi : bi + 1], k, axis=0)
+        state = init_decode_state(params, cfg, mem_i, len_i)
+        alive_seq = np.full((k, tmax), PAD_ID, np.int32)
+        alive_scores = np.array([0.0] + [-1e9] * (k - 1), np.float32)
+        fin = []  # list of (score, seq, length)
+        cur = np.full((k,), BOS_ID, np.int32)
+        max_pen = float(length_penalty(tmax, dcfg.length_penalty, dcfg.alpha))
+        for t in range(tmax):
+            worst_fin = min([s for s, _, _ in fin], default=-1e9) if len(fin) >= k else -1e9
+            if len(fin) >= k and worst_fin >= alive_scores[0] / max_pen:
+                break
+            lp, _a, state = decode_step(params, cfg, jnp.asarray(cur), state)
+            lp = np.asarray(lp)  # (k, v)
+            cand = alive_scores[:, None] + lp
+            flat = cand.reshape(-1)
+            order = np.argsort(-flat, kind="stable")[: 2 * k]
+            pen = float(length_penalty(t + 1, dcfg.length_penalty, dcfg.alpha))
+            new_alive = []
+            for idx in order:
+                o, tok = divmod(int(idx), v)
+                seq = alive_seq[o].copy()
+                seq[t] = tok
+                if tok == EOS_ID:
+                    fin.append((float(flat[idx]) / pen, seq, t + 1))
+                elif len(new_alive) < k:
+                    new_alive.append((float(flat[idx]), seq, o, tok))
+            fin = sorted(fin, key=lambda x: -x[0])[:k]
+            alive_scores = np.array([s for s, _, _, _ in new_alive], np.float32)
+            alive_seq = np.stack([s for _, s, _, _ in new_alive])
+            origins = np.array([o for _, _, o, _ in new_alive])
+            cur = np.array([tk for _, _, _, tk in new_alive], np.int32)
+            state = jax.tree_util.tree_map(
+                lambda x: x if x.ndim == 0 else x[jnp.asarray(origins)], state
+            )
+        if not fin:
+            fin = [(float(alive_scores[j]) / max_pen, alive_seq[j], tmax) for j in range(k)]
+            fin = sorted(fin, key=lambda x: -x[0])[:k]
+        results.append(fin)
+    return results
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_greedy_matches_oracle(setup):
+    cfg, params, memory, mem_len = setup
+    res = greedy_decode(params, cfg, memory, mem_len)
+    toks_o, len_o, lps_o = oracle_greedy(params, cfg, memory, mem_len, cfg.max_decode_len)
+    np.testing.assert_array_equal(np.asarray(res.tokens), toks_o)
+    np.testing.assert_array_equal(np.asarray(res.lengths), len_o)
+    np.testing.assert_allclose(np.asarray(res.token_log_probs), lps_o, atol=1e-5)
+
+
+@pytest.mark.parametrize("penalty,alpha", [("none", 0.0), ("wu", 0.6), ("avg", 0.0)])
+def test_beam_matches_oracle(setup, penalty, alpha):
+    cfg, params, memory, mem_len = setup
+    dcfg = dataclasses.replace(
+        tiny_test_config().decode, mode="beam", beam_size=3,
+        length_penalty=penalty, alpha=alpha, max_len=cfg.max_decode_len,
+    )
+    res = beam_decode(params, cfg, dcfg, memory, mem_len)
+    oracle = oracle_beam(params, cfg, dcfg, memory, mem_len)
+    for bi in range(memory.shape[0]):
+        got_scores = np.asarray(res.scores[bi])
+        want = oracle[bi]
+        # Compare the best hypothesis exactly (score, length, tokens).
+        assert abs(got_scores[0] - want[0][0]) < 1e-4, (got_scores, [w[0] for w in want])
+        assert int(res.lengths[bi, 0]) == want[0][2]
+        np.testing.assert_array_equal(np.asarray(res.tokens[bi, 0]), want[0][1])
+
+
+def test_beam_scores_sorted(setup):
+    cfg, params, memory, mem_len = setup
+    dcfg = dataclasses.replace(tiny_test_config().decode, mode="beam", beam_size=4)
+    res = beam_decode(params, cfg, dcfg, memory, mem_len)
+    sc = np.asarray(res.scores)
+    assert (np.diff(sc, axis=1) <= 1e-6).all()
+
+
+def test_beam1_at_least_as_good_as_greedy(setup):
+    """With K=1 and no length penalty, the alive beam follows the greedy
+    path until greedy's EOS, and that terminal hypothesis lands in the
+    finished set — so beam's best score must be >= greedy's total score.
+    (Note: beam K=1 is NOT identical to greedy under alive/finished
+    semantics — the beam may keep an earlier-EOS hypothesis that scores
+    better than the full greedy path.)"""
+    cfg, params, memory, mem_len = setup
+    g = greedy_decode(params, cfg, memory, mem_len)
+    dcfg = dataclasses.replace(
+        tiny_test_config().decode, mode="beam", beam_size=1, length_penalty="none"
+    )
+    bm = beam_decode(params, cfg, dcfg, memory, mem_len)
+    for bi in range(memory.shape[0]):
+        assert float(bm.scores[bi, 0]) >= float(g.scores[bi]) - 1e-4
+
+
+def test_greedy_jit_cpu_matches_nonjit(setup):
+    """f32 CPU parity gate: jitted vs eager greedy outputs are identical
+    (SURVEY.md §7 R1 self-referential parity)."""
+    cfg, params, memory, mem_len = setup
+    eager = greedy_decode(params, cfg, memory, mem_len)
+    jitted = jax.jit(lambda m, l: greedy_decode(params, cfg, m, l))(memory, mem_len)
+    np.testing.assert_array_equal(np.asarray(eager.tokens), np.asarray(jitted.tokens))

@@ -1,0 +1,115 @@
+"""Unit tests for the io layer: normalize, chunk, stitch round-trips
+(SURVEY.md §4 consequence 1: property — stitch(chunk(x)) round-trips)."""
+
+import numpy as np
+import pytest
+
+from nanodecoder_tpu.io.signal import chunk_signal, normalize_signal
+from nanodecoder_tpu.io.stitch import stitch_chunks
+
+
+class TestNormalize:
+    def test_mad_centering(self, rng_np):
+        x = rng_np.normal(500.0, 30.0, size=10000).astype(np.float32)
+        y = normalize_signal(x, "mad")
+        assert abs(float(np.median(y))) < 1e-3
+        # MAD-scaled sigma should be ~1 for gaussian data
+        assert 0.8 < float(np.std(y)) < 1.2
+
+    def test_mad_robust_to_spikes(self, rng_np):
+        x = rng_np.normal(0.0, 1.0, size=10000).astype(np.float32)
+        x[::100] = 1e5  # current spikes
+        y = normalize_signal(x, "mad", clip_sigma=5.0)
+        assert np.abs(y).max() <= 5.0
+        assert abs(float(np.median(y))) < 0.05
+
+    def test_meanstd(self, rng_np):
+        x = rng_np.normal(3.0, 2.0, size=5000).astype(np.float32)
+        y = normalize_signal(x, "meanstd", clip_sigma=0)
+        assert abs(float(y.mean())) < 1e-4
+        assert abs(float(y.std()) - 1.0) < 1e-3
+
+    def test_none_passthrough(self):
+        x = np.arange(10, dtype=np.int16)
+        y = normalize_signal(x, "none")
+        assert y.dtype == np.float32
+        np.testing.assert_allclose(y, x)
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            normalize_signal(np.zeros(4), "bogus")
+
+
+class TestChunk:
+    def test_exact_cover(self):
+        x = np.arange(1000, dtype=np.float32)
+        cb = chunk_signal(x, chunk_len=256, chunk_overlap=56)  # stride 200
+        # Every sample must be covered by at least one chunk.
+        covered = np.zeros(1000, bool)
+        for s, l in zip(cb.starts, cb.lengths):
+            covered[s : s + l] = True
+        assert covered.all()
+        # Chunk contents match the source signal.
+        for i, (s, l) in enumerate(zip(cb.starts, cb.lengths)):
+            np.testing.assert_array_equal(cb.chunks[i, :l], x[s : s + l])
+            assert (cb.chunks[i, l:] == 0).all()
+
+    def test_static_shape(self):
+        for n in (100, 2048, 5000):
+            cb = chunk_signal(np.ones(n, np.float32), 2048, 256)
+            assert cb.chunks.shape[1] == 2048
+
+    def test_short_read_single_chunk(self):
+        cb = chunk_signal(np.ones(100, np.float32), 2048, 256)
+        assert cb.n_chunks == 1
+        assert cb.lengths[0] == 100
+
+    def test_overlap_consistency(self):
+        cb = chunk_signal(np.ones(10000, np.float32), 2048, 256)
+        strides = np.diff(cb.starts)
+        assert (strides == 2048 - 256).all()
+
+    def test_overlap_ge_len_raises(self):
+        with pytest.raises(ValueError):
+            chunk_signal(np.ones(100, np.float32), 128, 128)
+
+
+class TestStitch:
+    def _fake_calls(self, seq: str, chunk_len: int, overlap: int, bases_per_sample: float):
+        """Cut a known sequence into overlapping per-chunk basecalls the
+        way a perfect basecaller would, given uniform base density."""
+        n_samples = int(len(seq) / bases_per_sample)
+        sig = np.zeros(n_samples, np.float32)
+        cb = chunk_signal(sig, chunk_len, overlap)
+        seqs = []
+        for s, l in zip(cb.starts, cb.lengths):
+            lo = int(round(s * bases_per_sample))
+            hi = int(round((s + l) * bases_per_sample))
+            seqs.append(seq[lo:hi])
+        return seqs, cb
+
+    @pytest.mark.parametrize("method", ["trim", "align"])
+    def test_roundtrip_uniform(self, method, rng_np):
+        seq = "".join(rng_np.choice(list("ACGT"), size=2000))
+        seqs, cb = self._fake_calls(seq, chunk_len=512, overlap=128, bases_per_sample=0.25)
+        out = stitch_chunks(seqs, cb.starts, cb.lengths, 512, 128, method=method)
+        # Uniform density + perfect chunk calls => near-exact roundtrip.
+        assert abs(len(out) - len(seq)) <= 4
+        # Alignment-free check: large shared content
+        matches = sum(a == b for a, b in zip(out, seq))
+        assert matches / max(len(seq), 1) > 0.95
+
+    def test_single_chunk_identity(self):
+        out = stitch_chunks(["ACGT"], np.array([0]), np.array([100]), 100, 10)
+        assert out == "ACGT"
+
+    def test_empty(self):
+        assert stitch_chunks([], np.array([]), np.array([]), 100, 10) == ""
+
+    def test_trim_exact_concat_no_overlap(self):
+        # Zero overlap => midpoint trim degenerates to concatenation.
+        seqs = ["AAAA", "CCCC", "GGGG"]
+        starts = np.array([0, 100, 200])
+        lengths = np.array([100, 100, 100])
+        out = stitch_chunks(seqs, starts, lengths, 100, 0, method="trim")
+        assert out == "AAAACCCCGGGG"

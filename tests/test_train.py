@@ -1,0 +1,111 @@
+"""Training-layer tests: loss semantics, schedules, one real train step,
+loss-goes-down smoke (SURVEY.md §4 — rigor the reference lacks)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanodecoder_tpu.config import tiny_test_config
+from nanodecoder_tpu.models.model import init_model
+from nanodecoder_tpu.train.data import SimSpec, simulate_read, synthetic_batches
+from nanodecoder_tpu.train.loss import label_smoothed_nll, loss_and_metrics
+from nanodecoder_tpu.train.optim import build_optimizer, noam_schedule
+from nanodecoder_tpu.train.trainer import TrainState, make_train_step
+from nanodecoder_tpu.vocab import PAD_ID
+
+
+class TestLoss:
+    def test_nll_no_smoothing_matches_manual(self, rng_np):
+        b, t, v = 2, 5, 8
+        logits = jnp.asarray(rng_np.normal(size=(b, t, v)).astype(np.float32))
+        lp = jax.nn.log_softmax(logits)
+        tgt = jnp.asarray(rng_np.integers(4, 8, size=(b, t)), jnp.int32)
+        loss_sum, n_tok, n_corr = label_smoothed_nll(lp, tgt, smoothing=0.0)
+        manual = -np.take_along_axis(np.asarray(lp), np.asarray(tgt)[..., None], -1).sum()
+        np.testing.assert_allclose(float(loss_sum), manual, rtol=1e-5)
+        assert int(n_tok) == b * t
+
+    def test_pad_ignored(self, rng_np):
+        b, t, v = 1, 4, 8
+        lp = jax.nn.log_softmax(jnp.asarray(rng_np.normal(size=(b, t, v)), jnp.float32))
+        tgt = jnp.array([[4, 5, PAD_ID, PAD_ID]], jnp.int32)
+        loss_sum, n_tok, _ = label_smoothed_nll(lp, tgt, smoothing=0.1)
+        assert int(n_tok) == 2
+        # Padding rows must not contribute: recompute with different pad logits
+        lp2 = lp.at[:, 2:, :].add(5.0)
+        lp2 = jax.nn.log_softmax(lp2)  # renormalize — rows 2,3 differ
+        loss_sum2, _, _ = label_smoothed_nll(lp2, tgt, smoothing=0.1)
+        # only rows 0,1 identical => loss equal
+        np.testing.assert_allclose(float(loss_sum), float(loss_sum2), rtol=1e-5)
+
+    def test_smoothing_increases_gold_loss_on_confident(self):
+        v = 8
+        lp = jax.nn.log_softmax(jnp.full((1, 1, v), -10.0).at[0, 0, 4].set(10.0))
+        tgt = jnp.array([[4]], jnp.int32)
+        l0, _, _ = label_smoothed_nll(lp, tgt, smoothing=0.0)
+        l1, _, _ = label_smoothed_nll(lp, tgt, smoothing=0.1)
+        assert float(l1) > float(l0)
+
+
+class TestOptim:
+    def test_noam_shape(self):
+        sched = noam_schedule(d_model=256, warmup_steps=100, scale=2.0)
+        lrs = [float(sched(s)) for s in range(0, 300, 10)]
+        peak = int(np.argmax(lrs)) * 10
+        assert 80 <= peak <= 120  # peak near warmup boundary
+        assert lrs[-1] < max(lrs)
+
+    def test_build_all(self):
+        cfg = tiny_test_config().train
+        for name in ("adam", "adamw", "sgd"):
+            opt, _ = build_optimizer(dataclasses.replace(cfg, optimizer=name), 64)
+            assert opt is not None
+        with pytest.raises(ValueError):
+            build_optimizer(dataclasses.replace(cfg, optimizer="bogus"), 64)
+
+
+class TestSimulator:
+    def test_signal_length_scales_with_bases(self):
+        spec = SimSpec()
+        rng = np.random.default_rng(0)
+        seq, sig = simulate_read(rng, 100, spec)
+        assert len(seq) == 100
+        assert 100 * 4 < sig.shape[0] < 100 * 20
+
+    def test_deterministic_levels(self):
+        assert np.array_equal(SimSpec().level_table(), SimSpec().level_table())
+
+    def test_batches_shapes(self, tiny_config):
+        it = synthetic_batches(tiny_config, seed=0)
+        b = next(it)
+        a, bs = tiny_config.train.accum_steps, tiny_config.train.batch_size
+        assert b["signal"].shape == (a, bs, tiny_config.signal.chunk_len)
+        assert b["tgt_in"].shape == (a, bs, tiny_config.model.max_decode_len)
+        assert (b["tgt_in"][..., 0] == 1).all()  # BOS
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, tiny_config):
+        """~30 steps on the synthetic task must reduce loss — the
+        end-to-end learn-signal smoke test."""
+        cfg = tiny_config
+        params = init_model(jax.random.PRNGKey(0), cfg.model)
+        optimizer, _ = build_optimizer(
+            dataclasses.replace(cfg.train, lr_schedule="constant", learning_rate=1e-3,
+                                warmup_steps=1),
+            cfg.model.d_model,
+        )
+        state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+        step = jax.jit(make_train_step(cfg, optimizer), donate_argnums=(0,))
+        it = synthetic_batches(cfg, seed=0)
+        losses = []
+        rng = jax.random.PRNGKey(0)
+        for i in range(30):
+            batch = next(it)
+            rng, r = jax.random.split(rng)
+            state, metrics = step(state, batch, r)
+            losses.append(float(metrics["xent_sum"]) / max(int(metrics["n_tokens"]), 1))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.98, losses
