@@ -66,6 +66,7 @@ class ModelConfig:
     max_decode_len: int = 320           # static decode-loop bound (chunk_len/stride ~ bases+slack)
     param_dtype: str = "float32"        # master params
     compute_dtype: str = "bfloat16"     # activations on TPU ("float32" = parity mode, SURVEY §7 R2)
+    use_pallas: bool = False            # Pallas decode-attention kernel (TPU hot path)
 
     @property
     def time_downsample(self) -> int:

@@ -106,18 +106,42 @@ def init_transformer_cache(p, cfg: ModelConfig, memory, mem_lengths, batch: int,
     return {
         "layers": layers,
         "cross_mask": nn.length_mask(mem_lengths, s)[:, None, None, :],
+        "mem_lengths": mem_lengths.astype(jnp.int32),
         "step": jnp.zeros((), jnp.int32),
     }
 
 
+def _attn_step(attn_params, n_heads, h, k_cache, v_cache, mask4d, valid_lens,
+               use_pallas: bool):
+    """One-token attention against a cached K/V — either the fused
+    Pallas kernel (TPU hot path) or the jnp path.  k_cache/v_cache:
+    (B, T, H, Dh); h: (B, 1, D)."""
+    if use_pallas:
+        from nanodecoder_tpu.ops.attention import decode_attention
+
+        b, t, nh, dh = k_cache.shape
+        d = nh * dh
+        q = nn.dense(attn_params["q"], h)[:, 0, :]  # (B, D)
+        ctx = decode_attention(
+            q, k_cache.reshape(b, t, d), v_cache.reshape(b, t, d),
+            valid_lens, n_heads,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return nn.dense(attn_params["o"], ctx[:, None, :]), None
+    return nn.mha_step(attn_params, n_heads, h, k_cache, v_cache, mask4d)
+
+
 def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
     """One-token decode. y1: (B, 1, D) embedded current token.
-    Returns (hidden (B, 1, D), cross-attn probs (B, H, 1, S), new state)."""
+    Returns (hidden (B, 1, D), cross-attn probs (B, H, 1, S) or None
+    when the Pallas path is active, new state)."""
     step = state["step"]
     tmax = cfg.max_decode_len
+    b = y1.shape[0]
     # Self-attention key mask: positions <= step are valid.
     pos = jnp.arange(tmax)
     self_mask = (pos <= step)[None, None, None, :]  # (1,1,1,Tmax)
+    self_valid = jnp.full((b,), step + 1, jnp.int32)
     new_layers = []
     attn_probs = None
     for layer, cache in zip(p["layers"], state["layers"]):
@@ -127,12 +151,14 @@ def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
         v1 = nn._split_heads(nn.dense(layer["self_attn"]["v"], h), cfg.dec_heads)
         self_k = jax.lax.dynamic_update_slice_in_dim(cache["self_k"], k1, step, axis=1)
         self_v = jax.lax.dynamic_update_slice_in_dim(cache["self_v"], v1, step, axis=1)
-        a, _ = nn.mha_step(layer["self_attn"], cfg.dec_heads, h, self_k, self_v, self_mask)
+        a, _ = _attn_step(layer["self_attn"], cfg.dec_heads, h, self_k, self_v,
+                          self_mask, self_valid, cfg.use_pallas)
         y1 = y1 + a
         h = nn.layer_norm(layer["ln2"], y1)
-        a, attn_probs = nn.mha_step(
+        a, attn_probs = _attn_step(
             layer["cross_attn"], cfg.dec_heads, h,
             cache["cross_k"], cache["cross_v"], state["cross_mask"],
+            state["mem_lengths"], cfg.use_pallas,
         )
         y1 = y1 + a
         h = nn.layer_norm(layer["ln3"], y1)

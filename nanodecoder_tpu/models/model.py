@@ -118,7 +118,11 @@ def decode_step(params, cfg: ModelConfig, tokens, state):
         hidden, attn, new_state = dec.transformer_decoder_step(
             params["decoder"], cfg, y1, state
         )
-        attn_mean = jnp.mean(attn[:, :, 0, :], axis=1)  # (B, S) mean over heads
+        if attn is None:  # Pallas path doesn't materialize probs
+            b, s = state["mem_lengths"].shape[0], state["cross_mask"].shape[-1]
+            attn_mean = jnp.zeros((b, s), jnp.float32)
+        else:
+            attn_mean = jnp.mean(attn[:, :, 0, :], axis=1)  # (B, S) mean over heads
     else:
         hidden, attn, new_state = dec.rnn_decoder_step(params["decoder"], cfg, y1, state)
         attn_mean = attn[:, 0, 0, :]

@@ -1,0 +1,116 @@
+"""Pallas kernel: one-token multi-head attention against a KV cache.
+
+This is the decode hot loop's inner op (reference analog: the
+per-step GlobalAttention / MultiHeadedAttention call inside the
+Python decode loop, SURVEY.md §2.1 'Attention modules', §3.2).  One
+kernel fuses, per batch row:
+
+    scores = (K @ q_blockdiag) * scale     # one MXU matmul, all heads
+    softmax over valid cache prefix (f32, single pass, fused masking)
+    out    = sum_t broadcast(probs) * V    # MXU matmul + VPU reduce
+
+so the (B, T, D) K/V caches are streamed HBM->VMEM exactly once per
+step with no materialized (B, H, T) probability tensor in HBM.
+
+Layout choice: caches are (B, T, D=H*Dh) with D contiguous in lanes —
+the head split is purely logical (block-diagonal masks built from
+iota), so DMAs are dense rows, not strided per-head gathers.
+
+A jnp reference implementation (`decode_attention_reference`) defines
+the semantics; tests compare the kernel in interpreter mode against it.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def decode_attention_reference(q, k_cache, v_cache, valid_lens, n_heads: int):
+    """Reference semantics (pure jnp).
+
+    q: (B, D) current-token queries (already projected).
+    k_cache/v_cache: (B, T, D) with D = n_heads * head_dim.
+    valid_lens: (B,) int32 — attend to cache positions [0, valid).
+    Returns (B, D) attention output in q.dtype; softmax in f32.
+    """
+    b, t, d = k_cache.shape
+    dh = d // n_heads
+    qh = q.reshape(b, n_heads, dh)
+    kh = k_cache.reshape(b, t, n_heads, dh)
+    vh = v_cache.reshape(b, t, n_heads, dh)
+    scale = 1.0 / math.sqrt(dh)
+    logits = jnp.einsum("bhd,bthd->bht", qh, kh, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    mask = jnp.arange(t)[None, None, :] < valid_lens[:, None, None]
+    logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bht,bthd->bhd", probs.astype(vh.dtype), vh)
+    return out.reshape(b, d).astype(q.dtype)
+
+
+def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, n_heads: int):
+    t, d = k_ref.shape[1], k_ref.shape[2]
+    dh = d // n_heads
+    scale = 1.0 / math.sqrt(dh)
+    valid = len_ref[0]
+
+    q = q_ref[:].astype(jnp.float32)  # (1, D)
+    k = k_ref[0].astype(jnp.float32)  # (T, D)
+    v = v_ref[0].astype(jnp.float32)  # (T, D)
+
+    # Block-diagonal query matrix: qmat[i, h] = q[0, i] if i//dh == h.
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (d, n_heads), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (d, n_heads), 1)
+    qmat = jnp.where(i_ids // dh == h_ids, q.reshape(d, 1), 0.0)
+
+    scores = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # (T, H)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (t, n_heads), 0)
+    scores = jnp.where(t_ids < valid, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=0, keepdims=True)          # (1, H)
+    p = jnp.exp(scores - m)                              # (T, H)
+    z = jnp.sum(p, axis=0, keepdims=True)                # (1, H)
+    p = p / z
+
+    # Broadcast head probs across head_dim lanes: G[t, i] = p[t, i//dh]
+    # via one more tiny MXU matmul with the block-membership matrix.
+    memb = (h_ids.T == i_ids.T // dh).astype(jnp.float32)  # (H, D)
+    g = jnp.dot(p, memb, preferred_element_type=jnp.float32)  # (T, D)
+    out = jnp.sum(g * v, axis=0, keepdims=True)          # (1, D)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
+def decode_attention(q, k_cache, v_cache, valid_lens, n_heads: int,
+                     interpret: bool = False):
+    """Fused one-token MHA over a (B, T, D) KV cache.  See
+    decode_attention_reference for semantics."""
+    b, t, d = k_cache.shape
+    grid = (b,)
+    out = pl.pallas_call(
+        functools.partial(_decode_attn_kernel, n_heads=n_heads),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * d * 2,
+            bytes_accessed=b * t * d * 2 * k_cache.dtype.itemsize + b * d * 2,
+            transcendentals=b * t * n_heads,
+        ),
+    )(valid_lens.astype(jnp.int32), q, k_cache, v_cache)
+    return out

@@ -1,0 +1,90 @@
+"""Pallas kernel tests — interpreter mode vs jnp reference
+(SURVEY.md §4 consequence 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanodecoder_tpu.ops.attention import decode_attention, decode_attention_reference
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("b,t,heads,dh", [(4, 64, 4, 32), (3, 40, 2, 16)])
+def test_decode_attention_matches_reference(dtype, b, t, heads, dh, rng_np):
+    d = heads * dh
+    q = jnp.asarray(rng_np.normal(size=(b, d)), dtype)
+    k = jnp.asarray(rng_np.normal(size=(b, t, d)), dtype)
+    v = jnp.asarray(rng_np.normal(size=(b, t, d)), dtype)
+    valid = jnp.asarray(rng_np.integers(1, t + 1, size=(b,)), jnp.int32)
+    ref = decode_attention_reference(q, k, v, valid, heads)
+    got = decode_attention(q, k, v, valid, heads, interpret=True)
+    atol = 1e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=atol, rtol=1e-2
+    )
+
+
+def test_decode_attention_respects_valid_len(rng_np):
+    """Positions >= valid must not influence the output."""
+    b, t, heads, dh = 2, 32, 2, 16
+    d = heads * dh
+    q = jnp.asarray(rng_np.normal(size=(b, d)), jnp.float32)
+    k = jnp.asarray(rng_np.normal(size=(b, t, d)), jnp.float32)
+    v = jnp.asarray(rng_np.normal(size=(b, t, d)), jnp.float32)
+    valid = jnp.array([5, 17], jnp.int32)
+    out1 = decode_attention(q, k, v, valid, heads, interpret=True)
+    # Corrupt the invalid tail — output must be identical.
+    k2 = k.at[0, 5:].set(99.0).at[1, 17:].set(-99.0)
+    v2 = v.at[0, 5:].set(99.0).at[1, 17:].set(-99.0)
+    out2 = decode_attention(q, k2, v2, valid, heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_reference_matches_modules_mha_step(rng_np):
+    """The (B,T,D)-layout kernel semantics must equal the (B,T,H,Dh)
+    attention core used by the decoder."""
+    from nanodecoder_tpu.models import modules as nn
+
+    b, t, heads, dh = 2, 24, 4, 8
+    d = heads * dh
+    q = jnp.asarray(rng_np.normal(size=(b, d)), jnp.float32)
+    k = jnp.asarray(rng_np.normal(size=(b, t, d)), jnp.float32)
+    v = jnp.asarray(rng_np.normal(size=(b, t, d)), jnp.float32)
+    valid = jnp.array([24, 10], jnp.int32)
+    ref = decode_attention_reference(q, k, v, valid, heads)
+    mask = nn.length_mask(valid, t)[:, None, None, :]
+    core, _ = nn.attention_core(
+        q.reshape(b, 1, heads, dh),
+        k.reshape(b, t, heads, dh),
+        v.reshape(b, t, heads, dh),
+        mask,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(core.reshape(b, d)), atol=1e-5
+    )
+
+
+def test_greedy_decode_pallas_parity(rng_np):
+    """Full greedy decode with the Pallas attention step (interpret
+    mode) must produce byte-identical tokens vs the jnp path."""
+    import dataclasses
+
+    from nanodecoder_tpu.config import tiny_test_config
+    from nanodecoder_tpu.decode.greedy import greedy_decode
+    from nanodecoder_tpu.models.model import encode, init_model
+
+    cfg = tiny_test_config().model
+    params = init_model(jax.random.PRNGKey(11), cfg)
+    signal = jnp.asarray(rng_np.normal(size=(2, 256)).astype(np.float32))
+    lengths = jnp.array([256, 200], jnp.int32)
+    memory, mem_len = encode(params, cfg, signal, lengths)
+
+    res_jnp = greedy_decode(params, cfg, memory, mem_len)
+    cfg_p = dataclasses.replace(cfg, use_pallas=True)
+    res_pal = greedy_decode(params, cfg_p, memory, mem_len)
+    np.testing.assert_array_equal(np.asarray(res_jnp.tokens), np.asarray(res_pal.tokens))
+    np.testing.assert_allclose(
+        np.asarray(res_jnp.token_log_probs), np.asarray(res_pal.token_log_probs),
+        atol=1e-4,
+    )
