@@ -50,11 +50,15 @@ def conv_frontend(p, cfg: ModelConfig, signal, lengths):
     x = signal.astype(dtype)[:, :, None]  # (B, S, 1) NWC
     out_lengths = lengths
     for layer, stride in zip(p["convs"], cfg.conv_strides):
+        # Explicit symmetric padding k//2 (torch Conv1d convention) —
+        # XLA "SAME" pads asymmetrically under stride>1, which would
+        # shift every window vs a reference-imported checkpoint.
+        k = layer["w"].shape[0]
         x = jax.lax.conv_general_dilated(
             x,
             layer["w"].astype(dtype),
             window_strides=(stride,),
-            padding="SAME",
+            padding=((k // 2, k // 2),),
             dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=jnp.float32,
         ).astype(dtype)

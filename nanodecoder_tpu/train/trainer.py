@@ -117,7 +117,9 @@ class Trainer:
         report: ReportManager | None = None,
         checkpointer=None,
         mesh_plan=None,
+        early_stopping=None,
     ):
+        self.early_stopping = early_stopping
         self.config = config
         optimizer, self.schedule = build_optimizer(config.train, config.model.d_model)
         self.optimizer = optimizer
@@ -154,7 +156,12 @@ class Trainer:
             lr = float(self.schedule(step - 1)) if callable(self.schedule) else 0.0
             self.report.report_training(step, stats, lr)
             if valid_iter_fn is not None and step % cfg.valid_every == 0:
-                self.validate(valid_iter_fn(), step)
+                vstats = self.validate(valid_iter_fn(), step)
+                if self.early_stopping is not None and self.early_stopping.update(vstats):
+                    self.report.log.info("early stopping at step %d (best %s=%.4f)",
+                                         step, self.early_stopping.metric,
+                                         self.early_stopping.best)
+                    break
             if self.checkpointer is not None and step % cfg.save_every == 0:
                 self.checkpointer.save(step, self.state)
         return self.state

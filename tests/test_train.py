@@ -109,3 +109,31 @@ class TestTrainStep:
             state, metrics = step(state, batch, r)
             losses.append(float(metrics["xent_sum"]) / max(int(metrics["n_tokens"]), 1))
         assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.98, losses
+
+
+class TestEarlyStopping:
+    def test_stops_after_patience(self):
+        from nanodecoder_tpu.train.earlystopping import EarlyStopping
+        from nanodecoder_tpu.utils.statistics import Statistics
+
+        es = EarlyStopping(patience=2, metric="xent")
+
+        def stats(x):
+            s = Statistics()
+            s.update(loss=x * 10, n_tokens=10, n_correct=5)
+            return s
+
+        assert not es.update(stats(1.0))   # improves (inf -> 1.0)
+        assert not es.update(stats(0.5))   # improves
+        assert not es.update(stats(0.6))   # bad 1
+        assert es.update(stats(0.7))       # bad 2 -> stop
+        assert es.stopped
+
+    def test_accuracy_direction(self):
+        from nanodecoder_tpu.train.earlystopping import EarlyStopping
+
+        es = EarlyStopping(patience=1, metric="accuracy")
+        assert es.improved(0.5)
+        es.best = 0.5
+        assert not es.improved(0.4)
+        assert es.improved(0.6)
