@@ -94,10 +94,18 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
         log_probs, _attn, state = decode_step(params, cfg, c["cur"], c["state"])
         lp = log_probs.reshape(b, k, v)
 
-        # ---- advance: add cumulative scores, topk over K*V ----
-        cand = c["alive_scores"][:, :, None] + lp       # (B, K, V)
-        flat = cand.reshape(b, k * v)
-        top_scores, top_ids = jax.lax.top_k(flat, 2 * k)  # (B, 2K)
+        # ---- advance: fused add + topk over K*V ----
+        if dcfg.use_pallas:
+            from nanodecoder_tpu.ops.beam_step import beam_topk
+
+            top_scores, top_ids = beam_topk(
+                c["alive_scores"], lp, 2 * k,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            cand = c["alive_scores"][:, :, None] + lp   # (B, K, V)
+            flat = cand.reshape(b, k * v)
+            top_scores, top_ids = jax.lax.top_k(flat, 2 * k)  # (B, 2K)
         origin = top_ids // v
         tok = (top_ids % v).astype(jnp.int32)
 

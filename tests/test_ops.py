@@ -88,3 +88,48 @@ def test_greedy_decode_pallas_parity(rng_np):
         np.asarray(res_jnp.token_log_probs), np.asarray(res_pal.token_log_probs),
         atol=1e-4,
     )
+
+
+@pytest.mark.parametrize("b,k,v,n_out", [(3, 5, 8, 10), (2, 3, 8, 6), (1, 1, 8, 2)])
+def test_beam_topk_matches_reference(b, k, v, n_out, rng_np):
+    from nanodecoder_tpu.ops.beam_step import beam_topk, beam_topk_reference
+
+    alive = jnp.asarray(rng_np.normal(size=(b, k)).astype(np.float32))
+    lp = jnp.asarray(rng_np.normal(size=(b, k, v)).astype(np.float32))
+    ref_s, ref_i = beam_topk_reference(alive, lp, n_out)
+    got_s, got_i = beam_topk(alive, lp, n_out, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+def test_beam_topk_tie_break_lowest_index():
+    from nanodecoder_tpu.ops.beam_step import beam_topk
+
+    alive = jnp.zeros((1, 2), jnp.float32)
+    lp = jnp.zeros((1, 2, 4), jnp.float32)  # all ties
+    s, i = beam_topk(alive, lp, 3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i[0]), [0, 1, 2])
+
+
+def test_beam_decode_pallas_parity(rng_np):
+    """Full beam decode with both Pallas kernels (interpret mode) must
+    match the jnp path exactly."""
+    import dataclasses
+
+    from nanodecoder_tpu.config import tiny_test_config
+    from nanodecoder_tpu.decode.beam import beam_decode
+    from nanodecoder_tpu.models.model import encode, init_model
+
+    cfg = tiny_test_config().model
+    params = init_model(jax.random.PRNGKey(12), cfg)
+    signal = jnp.asarray(rng_np.normal(size=(2, 256)).astype(np.float32))
+    lengths = jnp.array([256, 180], jnp.int32)
+    memory, mem_len = encode(params, cfg, signal, lengths)
+    dcfg = dataclasses.replace(tiny_test_config().decode, mode="beam", beam_size=3)
+
+    res = beam_decode(params, cfg, dcfg, memory, mem_len)
+    cfg_p = dataclasses.replace(cfg, use_pallas=True)
+    dcfg_p = dataclasses.replace(dcfg, use_pallas=True)
+    res_p = beam_decode(params, cfg_p, dcfg_p, memory, mem_len)
+    np.testing.assert_array_equal(np.asarray(res.tokens), np.asarray(res_p.tokens))
+    np.testing.assert_allclose(np.asarray(res.scores), np.asarray(res_p.scores), atol=1e-4)
