@@ -88,17 +88,17 @@ def main() -> None:
     compile_s = time.perf_counter() - t0
     print(f"# warmup/compile: {compile_s:.1f}s", file=sys.stderr)
 
-    # Steady-state measurement.
+    # Steady-state measurement — block every batch so async dispatch
+    # can't queue unbounded work (honest per-batch latency).
     n_batches = 0
     t0 = time.perf_counter()
     while True:
         out = translator._decode_jit(jc, jl)
+        jax.block_until_ready(out)
         n_batches += 1
         elapsed = time.perf_counter() - t0
         if n_batches >= args.batches and elapsed >= args.seconds:
             break
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
 
     samples = n_batches * bsz * clen
     samples_per_sec = samples / elapsed

@@ -45,12 +45,14 @@ class StreamingBasecaller:
         self.depth = depth
         mcfg, dcfg = config.model, config.decode
 
-        def greedy_program(signal, lengths):
+        # Params are jit arguments (device-resident), never closures —
+        # see Translator.__init__ for the measured cost of capturing.
+        def greedy_program(params, signal, lengths):
             memory, mem_len = encode(params, mcfg, signal, lengths)
             r = greedy_decode(params, mcfg, memory, mem_len)
             return r.tokens, r.lengths, r.token_log_probs
 
-        def beam_program(signal, lengths):
+        def beam_program(params, signal, lengths):
             memory, mem_len = encode(params, mcfg, signal, lengths)
             r = beam_decode(params, mcfg, dcfg, memory, mem_len)
             per_tok = r.scores[:, 0] / jnp.maximum(r.lengths[:, 0].astype(jnp.float32), 1.0)
@@ -59,12 +61,16 @@ class StreamingBasecaller:
 
         program = greedy_program if dcfg.mode == "greedy" else beam_program
         if mesh_plan is not None:
-            params = mesh_plan.replicate(params)
-            self._decode = mesh_plan.shard_decode_fn(program)
+            self._params = mesh_plan.replicate(params)
+            self._program = mesh_plan.shard_decode_fn(program)
             self._place = mesh_plan.shard_batch
         else:
-            self._decode = jax.jit(program)
+            self._params = jax.device_put(params)
+            self._program = jax.jit(program)
             self._place = lambda b: b
+
+    def _decode(self, signal, lengths):
+        return self._program(self._params, signal, lengths)
 
     # -----------------------------------------------------------------
 

@@ -60,30 +60,38 @@ class Translator:
     """
 
     def __init__(self, params, config: Config, donate_state: bool = True):
-        self.params = params
+        # Params MUST be jit *arguments*, never closed-over: captured
+        # pytrees are baked into the HLO as constants, which blows up
+        # compile time ~100x and adds tens of ms per invocation
+        # (measured on the v5e: encoder compile 372s->3.3s, warm call
+        # 50ms->0.3ms after this change).
+        self.params = jax.device_put(params)
         self.config = config
         self.vocab = DNA_VOCAB
         mode = config.decode.mode
         if mode == "greedy":
-            self._decode_jit = jax.jit(self._greedy_program)
+            self._decode_p = jax.jit(self._greedy_program)
         elif mode == "beam":
-            self._decode_jit = jax.jit(self._beam_program)
+            self._decode_p = jax.jit(self._beam_program)
         else:
             raise ValueError(f"unknown decode mode {mode!r}")
 
+    def _decode_jit(self, signal, lengths):
+        return self._decode_p(self.params, signal, lengths)
+
     # --- jitted programs -------------------------------------------------
 
-    def _greedy_program(self, signal, lengths):
+    def _greedy_program(self, params, signal, lengths):
         cfg = self.config.model
-        memory, mem_lengths = encode(self.params, cfg, signal, lengths)
-        res = greedy_decode(self.params, cfg, memory, mem_lengths)
+        memory, mem_lengths = encode(params, cfg, signal, lengths)
+        res = greedy_decode(params, cfg, memory, mem_lengths)
         return res.tokens, res.lengths, res.token_log_probs, res.scores
 
-    def _beam_program(self, signal, lengths):
+    def _beam_program(self, params, signal, lengths):
         cfg = self.config.model
         dcfg = self.config.decode
-        memory, mem_lengths = encode(self.params, cfg, signal, lengths)
-        res = beam_decode(self.params, cfg, dcfg, memory, mem_lengths)
+        memory, mem_lengths = encode(params, cfg, signal, lengths)
+        res = beam_decode(params, cfg, dcfg, memory, mem_lengths)
         # Best hypothesis per chunk; mean per-token log-prob approximates
         # per-base quality for beam mode (exact per-token lps are a
         # greedy-mode feature).

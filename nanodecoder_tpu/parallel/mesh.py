@@ -57,12 +57,11 @@ class MeshPlan:
     # --- program builders -----------------------------------------------
 
     def shard_decode_fn(self, fn: Callable) -> Callable:
-        """Jit `fn(signal, lengths) -> outputs` with batch sharded on
-        `data` and outputs sharded the same way.  Weights are closed
-        over and must already be replicated."""
+        """Jit `fn(params, signal, lengths) -> outputs` with params
+        replicated and the batch sharded on `data`."""
         return jax.jit(
             fn,
-            in_shardings=(self.data_sharded(2), self.data_sharded(1)),
+            in_shardings=(self.replicated(), self.data_sharded(2), self.data_sharded(1)),
             out_shardings=None,  # let XLA propagate (batch-sharded)
         )
 

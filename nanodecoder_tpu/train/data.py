@@ -40,13 +40,13 @@ class SimSpec:
         return rng.normal(0.0, 1.0, size=4 ** self.context).astype(np.float32)
 
 
-def simulate_read(
+def simulate_read_with_dwells(
     rng: np.random.Generator,
     n_bases: int,
     spec: SimSpec,
     levels: np.ndarray | None = None,
-) -> tuple[str, np.ndarray]:
-    """Random DNA -> (sequence, float32 signal) under the simulator."""
+) -> tuple[str, np.ndarray, np.ndarray]:
+    """Random DNA -> (sequence, float32 signal, per-base dwell counts)."""
     if levels is None:
         levels = spec.level_table()
     bases = rng.integers(0, 4, size=n_bases)
@@ -63,13 +63,18 @@ def simulate_read(
     sig = np.repeat(levels[ctx_idx], dwells)
     sig = sig + rng.normal(0.0, spec.noise_sigma, size=sig.shape[0]).astype(np.float32)
     seq = "".join("ACGT"[b] for b in bases)
-    return seq, sig.astype(np.float32)
+    return seq, sig.astype(np.float32), dwells
 
 
-def _bases_fitting(chunk_len: int, mean_dwell: float, max_tokens: int) -> int:
-    """Bases that fit a chunk with slack for EOS + dwell variance."""
-    est = int(chunk_len / mean_dwell)
-    return min(est, max_tokens - 2)
+def simulate_read(
+    rng: np.random.Generator,
+    n_bases: int,
+    spec: SimSpec,
+    levels: np.ndarray | None = None,
+) -> tuple[str, np.ndarray]:
+    """Random DNA -> (sequence, float32 signal) under the simulator."""
+    seq, sig, _ = simulate_read_with_dwells(rng, n_bases, spec, levels)
+    return seq, sig
 
 
 def make_example(
@@ -80,36 +85,47 @@ def make_example(
 ) -> dict[str, np.ndarray]:
     """One (signal chunk, target) training pair with static shapes.
 
+    A window of exactly `chunk_len` samples is cut out of a longer
+    simulated read — matching the inference-time chunker's base density
+    (including partial dwells at the window edges).  Labels are the
+    bases whose dwell *midpoint* falls inside the window (the simulator
+    knows exact dwell boundaries, so labels are exact, not
+    proportional).  ~10% of examples are short (padded) windows to
+    cover the tail-chunk path.
+
     signal: (chunk_len,) f32 (zero-padded), sig_length: () i32,
     tgt_in: (T,) i32 = BOS + bases, tgt_out: (T,) i32 = bases + EOS,
     both PAD-padded to T = max_decode_len.
     """
     scfg, mcfg = config.signal, config.model
     tmax = mcfg.max_decode_len
-    # Draw a length so targets always fit; sometimes short (padding path).
-    max_b = _bases_fitting(scfg.chunk_len, spec.mean_dwell * 1.3, tmax)
-    n_bases = int(rng.integers(max(4, max_b // 2), max_b + 1))
-    seq, sig = simulate_read(rng, n_bases, spec, levels)
-    # The label is the full sequence; truncate signal to the chunk.
-    if sig.shape[0] > scfg.chunk_len:
-        # Re-draw proportionally shorter (cheap rejection step).
-        keep = int(n_bases * scfg.chunk_len / sig.shape[0] * 0.95)
-        keep = max(keep, 1)
-        seq, sig = simulate_read(rng, keep, spec, levels)
-        sig = sig[: scfg.chunk_len]
-        seq = seq[: tmax - 1]
+    clen = scfg.chunk_len
 
-    signal = np.zeros(scfg.chunk_len, np.float32)
-    n = min(sig.shape[0], scfg.chunk_len)
-    signal[:n] = sig[:n]
-    # Normalize like inference does (mean/std here; the simulator is
-    # already roughly centered, MAD ~ meanstd for gaussian-ish data).
+    short = rng.random() < 0.1
+    window = int(rng.integers(clen // 8, clen)) if short else clen
+    # Enough bases that the signal definitely covers window + slack.
+    n_bases = int(window / spec.mean_dwell * 1.6) + 8
+    seq, sig, dwells = simulate_read_with_dwells(rng, n_bases, spec, levels)
+    total = sig.shape[0]
+    start = int(rng.integers(0, max(total - window, 0) + 1))
+    sig = sig[start : start + window]
+    n = sig.shape[0]
+
+    # Bases whose dwell midpoint lies in [start, start+n).
+    ends = np.cumsum(dwells)
+    mids = ends - dwells / 2.0
+    sel = (mids >= start) & (mids < start + n)
+    label = "".join(c for c, m in zip(seq, sel) if m)
+    label = label[: tmax - 1]  # leave room for EOS
+
+    signal = np.zeros(clen, np.float32)
+    signal[:n] = sig
     from nanodecoder_tpu.io.signal import normalize_signal
 
     signal[:n] = normalize_signal(signal[:n], scfg.normalization, scfg.mad_scale,
                                   scfg.clip_sigma)
 
-    ids = np.array([{"A": 4, "C": 5, "G": 6, "T": 7}[c] for c in seq], np.int32)
+    ids = np.array([{"A": 4, "C": 5, "G": 6, "T": 7}[c] for c in label], np.int32)
     tgt_in = np.full(tmax, PAD_ID, np.int32)
     tgt_out = np.full(tmax, PAD_ID, np.int32)
     L = ids.shape[0]
