@@ -49,13 +49,31 @@ def main() -> None:
     from nanodecoder_tpu.models.model import init_model, param_count
     from nanodecoder_tpu.train.data import SimSpec, simulate_read
 
+    # Use the committed trained flagship when present: decode length
+    # (EOS behavior) is model-dependent, and random weights terminate
+    # unrealistically early — inflating samples/s.
+    ckpt_npz = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_results", "flagship_params.npz")
     config = Config()  # flagship defaults: d_model=256, 6+3 layers, chunk=2048
     if args.beam:
         config = dataclasses.replace(
             config, decode=dataclasses.replace(config.decode, mode="beam")
         )
 
-    params = init_model(jax.random.PRNGKey(0), config.model)
+    if os.path.exists(ckpt_npz):
+        from nanodecoder_tpu.train.checkpoint import load_params_npz
+
+        cfg_json = os.path.join(os.path.dirname(ckpt_npz), "config.json")
+        if os.path.exists(cfg_json):
+            with open(cfg_json) as f:
+                loaded = Config.from_json(f.read())
+            config = dataclasses.replace(config, model=loaded.model, signal=loaded.signal)
+        params = load_params_npz(ckpt_npz,
+                                 init_model(jax.random.PRNGKey(0), config.model))
+        print("# params: trained flagship checkpoint", file=sys.stderr)
+    else:
+        params = init_model(jax.random.PRNGKey(0), config.model)
+        print("# params: RANDOM INIT (decode lengths unrealistic)", file=sys.stderr)
     n_params = param_count(params)
 
     dev = jax.devices()[0]
@@ -86,7 +104,11 @@ def main() -> None:
     out = translator._decode_jit(jc, jl)
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
-    print(f"# warmup/compile: {compile_s:.1f}s", file=sys.stderr)
+    import numpy as _np
+
+    mean_len = float(_np.mean(_np.asarray(out[1])))
+    print(f"# warmup/compile: {compile_s:.1f}s, mean decode len: {mean_len:.0f} tokens",
+          file=sys.stderr)
 
     # Steady-state measurement — block every batch so async dispatch
     # can't queue unbounded work (honest per-batch latency).

@@ -54,13 +54,16 @@ def conv_frontend(p, cfg: ModelConfig, signal, lengths):
         # XLA "SAME" pads asymmetrically under stride>1, which would
         # shift every window vs a reference-imported checkpoint.
         k = layer["w"].shape[0]
+        # No preferred_element_type here: a f32 accumulation dtype with
+        # bf16 operands breaks the conv transpose rule under AD (f32
+        # cotangent vs bf16 filter); the TPU MXU accumulates in f32
+        # internally regardless.
         x = jax.lax.conv_general_dilated(
             x,
             layer["w"].astype(dtype),
             window_strides=(stride,),
             padding=((k // 2, k // 2),),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
         ).astype(dtype)
         x = jax.nn.relu(x + layer["b"].astype(dtype))
         out_lengths = jnp.ceil(out_lengths / stride).astype(lengths.dtype)

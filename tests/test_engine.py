@@ -1,0 +1,122 @@
+"""Streaming engine + async pipeline tests: fast5 dir -> FASTQ with
+batching across reads, dispatch-ahead, resume, and a full e2e smoke
+(SURVEY.md §4: integration tests the reference ran via CI shell)."""
+
+import io
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from nanodecoder_tpu.config import tiny_test_config
+from nanodecoder_tpu.io.pipeline import AsyncChunkPipeline
+from nanodecoder_tpu.io.signal import chunk_signal
+
+
+def _write_fast5(path, reads):
+    """reads: dict read_id -> float signal (stored uncalibrated)."""
+    with h5py.File(path, "w") as f:
+        for i, (rid, sig) in enumerate(reads.items()):
+            g = f.create_group(f"Raw/Reads/Read_{i}") if i == 0 and len(reads) == 1 \
+                else f.create_group(f"read_{rid}/Raw")
+            if i == 0 and len(reads) == 1:
+                g.attrs["read_id"] = rid.encode()
+                g.create_dataset("Signal", data=sig.astype(np.int16))
+            else:
+                g.attrs["read_id"] = rid.encode()
+                g.create_dataset("Signal", data=sig.astype(np.int16))
+
+
+def _write_multi_fast5(path, reads):
+    with h5py.File(path, "w") as f:
+        for rid, sig in reads.items():
+            raw = f.create_group(f"read_{rid}/Raw")
+            raw.attrs["read_id"] = rid.encode()
+            raw.create_dataset("Signal", data=sig.astype(np.int16))
+
+
+class TestAsyncPipeline:
+    def test_batches_cover_all_chunks(self, tmp_path, rng_np):
+        scfg = tiny_test_config().signal
+        reads = {f"r{i}": rng_np.normal(0, 300, size=rng_np.integers(300, 1500))
+                 for i in range(5)}
+        _write_multi_fast5(str(tmp_path / "a.fast5"), reads)
+        pipe = AsyncChunkPipeline([str(tmp_path / "a.fast5")], scfg, batch_chunks=4,
+                                  num_workers=2)
+        total_rows = 0
+        for pb in pipe.batches():
+            assert pb.chunks.shape == (4, scfg.chunk_len)
+            total_rows += pb.n_real
+            for row in range(pb.n_real, 4):
+                assert pb.lengths[row] == 0  # padding rows
+        expect = sum(
+            chunk_signal(np.asarray(sig, np.float32), scfg.chunk_len,
+                         scfg.chunk_overlap).n_chunks
+            for sig in reads.values()
+        )
+        assert total_rows == expect
+        assert len(pipe.reads) == 5
+
+    def test_error_propagates(self, tmp_path):
+        scfg = tiny_test_config().signal
+        bad = str(tmp_path / "bad.fast5")
+        open(bad, "w").write("not hdf5")
+        pipe = AsyncChunkPipeline([bad], scfg, batch_chunks=2)
+        with pytest.raises(Exception):
+            list(pipe.batches())
+
+    def test_stop_is_clean(self, tmp_path, rng_np):
+        scfg = tiny_test_config().signal
+        reads = {f"r{i}": rng_np.normal(0, 300, size=800) for i in range(20)}
+        _write_multi_fast5(str(tmp_path / "a.fast5"), reads)
+        pipe = AsyncChunkPipeline([str(tmp_path / "a.fast5")], scfg, batch_chunks=2,
+                                  queue_depth=2).start()
+        it = pipe.batches()
+        next(it)
+        pipe.stop()  # must not deadlock
+
+
+class TestStreamingEngine:
+    @pytest.fixture(scope="class")
+    def engine(self, tiny_params, tiny_config):
+        from nanodecoder_tpu.decode.engine import StreamingBasecaller
+
+        return StreamingBasecaller(tiny_params, tiny_config)
+
+    def test_end_to_end_fastq(self, engine, tmp_path, rng_np):
+        reads = {f"r{i}": rng_np.normal(0, 300, size=rng_np.integers(200, 900))
+                 for i in range(4)}
+        _write_multi_fast5(str(tmp_path / "a.fast5"), reads)
+        out = io.StringIO()
+        meter = engine.run([str(tmp_path / "a.fast5")], out)
+        text = out.getvalue()
+        assert text.count("@") >= 4
+        for rid in reads:
+            assert f"@{rid}\n" in text
+        assert meter.n_reads == 4
+        assert meter.n_samples == sum(len(s) for s in reads.values())
+
+    def test_resume_skips(self, engine, tmp_path, rng_np):
+        reads = {f"r{i}": rng_np.normal(0, 300, size=500) for i in range(3)}
+        _write_multi_fast5(str(tmp_path / "b.fast5"), reads)
+        out = io.StringIO()
+        engine.run([str(tmp_path / "b.fast5")], out, skip_read_ids={"r0", "r2"})
+        text = out.getvalue()
+        assert "@r1\n" in text
+        assert "@r0\n" not in text and "@r2\n" not in text
+
+    def test_done_log_written(self, engine, tmp_path, rng_np):
+        reads = {"rx": rng_np.normal(0, 300, size=400)}
+        _write_multi_fast5(str(tmp_path / "c.fast5"), reads)
+        out = io.StringIO()
+        done = io.StringIO()
+        engine.run([str(tmp_path / "c.fast5")], out, done_log=done)
+        assert done.getvalue().strip() == "rx"
+
+    def test_fasta_format(self, engine, tmp_path, rng_np):
+        reads = {"rf": rng_np.normal(0, 300, size=400)}
+        _write_multi_fast5(str(tmp_path / "d.fast5"), reads)
+        out = io.StringIO()
+        engine.run([str(tmp_path / "d.fast5")], out, write_format="fasta")
+        assert out.getvalue().startswith(">rf\n")

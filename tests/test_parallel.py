@@ -1,0 +1,111 @@
+"""Multi-chip logic on the 8-device virtual CPU mesh (SURVEY.md §4.4):
+sharded decode/train must equal single-device results, and the
+multi-host helpers must partition deterministically."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanodecoder_tpu.config import MeshConfig, tiny_test_config
+from nanodecoder_tpu.models.model import encode, init_model
+from nanodecoder_tpu.parallel.mesh import make_mesh_plan
+from nanodecoder_tpu.parallel.multihost import host_shard_path, partition_files_for_host
+
+
+@pytest.fixture(scope="module")
+def plan():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh_plan(MeshConfig(num_devices=8))
+
+
+def test_mesh_shape(plan):
+    assert plan.n_devices == 8
+    assert plan.mesh.axis_names == ("data",)
+
+
+def test_sharded_decode_matches_single_device(plan, tiny_config, tiny_params, rng_np):
+    """Greedy decode sharded over 8 devices == unsharded decode."""
+    from nanodecoder_tpu.decode.greedy import greedy_decode
+
+    cfg = tiny_config.model
+
+    def program(params, signal, lengths):
+        memory, mem_len = encode(params, cfg, signal, lengths)
+        r = greedy_decode(params, cfg, memory, mem_len)
+        return r.tokens, r.lengths
+
+    b = 16  # divisible by 8
+    signal = jnp.asarray(rng_np.normal(size=(b, 256)).astype(np.float32))
+    lengths = jnp.full((b,), 256, jnp.int32)
+
+    single = jax.jit(program)(tiny_params, signal, lengths)
+    params_r = plan.replicate(tiny_params)
+    batch = plan.shard_batch({"signal": signal, "lengths": lengths})
+    sharded_fn = plan.shard_decode_fn(program)
+    sharded = sharded_fn(params_r, batch["signal"], batch["lengths"])
+    np.testing.assert_array_equal(np.asarray(single[0]), np.asarray(sharded[0]))
+    np.testing.assert_array_equal(np.asarray(single[1]), np.asarray(sharded[1]))
+
+
+def test_dp_train_step_matches_single_device(plan, tiny_config):
+    """One DP train step over the 8-device mesh must produce the same
+    params as the same step on one device (psum == serial sum)."""
+    from nanodecoder_tpu.train.data import synthetic_batches
+    from nanodecoder_tpu.train.optim import build_optimizer
+    from nanodecoder_tpu.train.trainer import TrainState, make_train_step
+
+    # SGD, not Adam: Adam's g/sqrt(v) amplifies psum-vs-serial f32
+    # reduction-order noise to +-lr wherever the true grad ~ 0 (e.g.
+    # attention K biases, whose grad vanishes by softmax shift
+    # invariance).  With SGD the update is proportional to the grad and
+    # the comparison is meaningful.
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(tiny_config.train, batch_size=8, accum_steps=1,
+                                  optimizer="sgd", lr_schedule="constant",
+                                  learning_rate=0.1),
+    )
+    params = init_model(jax.random.PRNGKey(0), cfg.model)
+    optimizer, _ = build_optimizer(cfg.train, cfg.model.d_model)
+    step_fn = make_train_step(cfg, optimizer)
+    batch = next(synthetic_batches(cfg, seed=3))
+    rng = jax.random.PRNGKey(5)
+
+    state0 = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    single_state, single_metrics = jax.jit(step_fn)(state0, batch, rng)
+
+    state0b = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    sharded_step = plan.shard_train_step(step_fn)
+    import jax.sharding as js
+
+    spec = js.NamedSharding(plan.mesh, js.PartitionSpec(None, "data"))
+    batch_s = jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), spec), batch)
+    shard_state, shard_metrics = sharded_step(plan.replicate(state0b), batch_s,
+                                              plan.replicate(rng))
+
+    assert int(single_metrics["n_tokens"]) == int(shard_metrics["n_tokens"])
+    for (kp, a), (_, b2) in zip(
+        jax.tree_util.tree_leaves_with_path(single_state.params),
+        jax.tree_util.tree_leaves_with_path(shard_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b2), atol=1e-5, rtol=1e-4,
+            err_msg=str(kp),
+        )
+
+
+def test_partition_files_disjoint_and_complete():
+    files = [f"f{i:03d}.fast5" for i in range(23)]
+    parts = [partition_files_for_host(files, process_index=i, process_count=4)
+             for i in range(4)]
+    merged = sorted(f for p in parts for f in p)
+    assert merged == sorted(files)
+    flat = [f for p in parts for f in p]
+    assert len(set(flat)) == len(flat)  # disjoint
+
+
+def test_host_shard_path():
+    assert host_shard_path("/x/out.fastq", 3) == "/x/out.fastq.shard00003"
