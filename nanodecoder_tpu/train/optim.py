@@ -40,6 +40,31 @@ def build_schedule(cfg: TrainConfig, d_model: int):
     raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
 
 
+def host_lr(cfg: TrainConfig, d_model: int, step: int) -> float:
+    """Host-side (pure python math) LR value for reporting.
+
+    Never call the jnp schedule with a python scalar from the host
+    loop: the value constant-folds into the HLO, producing a NEW tiny
+    program (and a compile) every step.
+    """
+    import math
+
+    s = float(step) + 1.0
+    if cfg.lr_schedule == "noam":
+        return cfg.learning_rate * d_model ** -0.5 * min(
+            s ** -0.5, s * cfg.warmup_steps ** -1.5
+        )
+    if cfg.lr_schedule == "constant":
+        return cfg.learning_rate
+    if cfg.lr_schedule == "cosine":
+        warm, total = cfg.warmup_steps, max(cfg.train_steps, cfg.warmup_steps + 1)
+        if s < warm:
+            return cfg.learning_rate * s / warm
+        frac = min((s - warm) / max(total - warm, 1), 1.0)
+        return cfg.learning_rate * 0.5 * (1.0 + math.cos(math.pi * frac))
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+
+
 def build_optimizer(cfg: TrainConfig, d_model: int):
     """Returns (optax.GradientTransformation, schedule_fn)."""
     schedule = build_schedule(cfg, d_model)

@@ -22,7 +22,9 @@ from nanodecoder_tpu.config import Config
 
 def write_shard(path: str, examples: list[dict[str, np.ndarray]]) -> None:
     batch = {k: np.stack([e[k] for e in examples]) for k in examples[0]}
-    np.savez_compressed(path, **batch)
+    # Uncompressed: float32 signal barely deflates, and compressed npz
+    # members cannot be random-accessed — reads decompress whole arrays.
+    np.savez(path, **batch)
 
 
 def list_shards(shard_dir: str) -> list[str]:
@@ -40,17 +42,20 @@ def shard_batches(
     a, b = config.train.accum_steps, config.train.batch_size
     need = a * b
     rng = np.random.default_rng(shuffle_seed)
-    buf: dict[str, list] = None  # type: ignore
     while True:
         for p in paths:
-            data = np.load(p)
-            n = data["signal"].shape[0]
+            # Materialize each member ONCE per shard pass: npz member
+            # access decompresses/reads the whole array every time, so
+            # per-batch data[k][idx] would re-read 10s of MB per step.
+            with np.load(p) as data:
+                arrays = {k: np.asarray(data[k]) for k in data.files}
+            n = arrays["signal"].shape[0]
             order = rng.permutation(n)
             for start in range(0, n - need + 1, need):
                 idx = order[start : start + need]
                 yield {
-                    k: data[k][idx].reshape((a, b) + data[k].shape[1:])
-                    for k in data.files
+                    k: v[idx].reshape((a, b) + v.shape[1:])
+                    for k, v in arrays.items()
                 }
         if not loop:
             return

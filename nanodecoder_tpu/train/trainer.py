@@ -153,7 +153,12 @@ class Trainer:
                 int(metrics["n_tokens"]),
                 int(metrics["n_correct"]),
             )
-            lr = float(self.schedule(step - 1)) if callable(self.schedule) else 0.0
+            # Host-side LR (never the jnp schedule with a python int —
+            # that constant-folds a fresh program per step; see
+            # optim.host_lr).
+            from nanodecoder_tpu.train.optim import host_lr
+
+            lr = host_lr(cfg, self.config.model.d_model, step - 1)
             self.report.report_training(step, stats, lr)
             if valid_iter_fn is not None and step % cfg.valid_every == 0:
                 vstats = self.validate(valid_iter_fn(), step)

@@ -19,4 +19,9 @@ def get_logger(name: str = "nanodecoder_tpu", level: int = logging.INFO) -> logg
         root.setLevel(level)
         root.propagate = False
         _configured = True
+    # Parent every logger under the package hierarchy so the single
+    # handler applies (a bare name would propagate to the python root,
+    # which drops INFO records).
+    if not name.startswith("nanodecoder_tpu"):
+        name = f"nanodecoder_tpu.{name}"
     return logging.getLogger(name)
