@@ -67,6 +67,13 @@ def _best_overlap_len(left: str, right: str, max_k: int) -> int:
     max_k = min(max_k, len(left), len(right))
     if max_k <= 0:
         return 0
+    # Native C++ scorer when available (nanodecoder_tpu/native); the
+    # numpy loop below is the reference implementation and fallback.
+    from nanodecoder_tpu.native import best_overlap_len_native
+
+    native = best_overlap_len_native(left.encode(), right.encode(), max_k)
+    if native is not None:
+        return native
     lbuf = np.frombuffer(left[-max_k:].encode(), dtype=np.uint8)
     rbuf = np.frombuffer(right[:max_k].encode(), dtype=np.uint8)
     best_k, best_score = 0, 0.0
