@@ -28,7 +28,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--length-penalty", choices=["none", "wu", "avg"], default="none")
     ap.add_argument("--alpha", type=float, default=0.6)
     ap.add_argument("--batch-chunks", type=int, default=0, help="override batch size")
-    ap.add_argument("--stitch", choices=["trim", "align"], default="trim")
+    ap.add_argument("--stitch", choices=["trim", "align", "attn"], default="trim",
+                    help="chunk merge rule: proportional trim, overlap "
+                         "alignment, or attention-position (greedy only)")
     ap.add_argument("--workers", type=int, default=4, help="ingest reader threads")
     ap.add_argument("--resume", action="store_true",
                     help="skip reads already in <output>.done")

@@ -50,14 +50,16 @@ class StreamingBasecaller:
         def greedy_program(params, signal, lengths):
             memory, mem_len = encode(params, mcfg, signal, lengths)
             r = greedy_decode(params, mcfg, memory, mem_len)
-            return r.tokens, r.lengths, r.token_log_probs
+            ds = mcfg.time_downsample
+            return r.tokens, r.lengths, r.token_log_probs, r.attn_pos * ds + ds // 2
 
         def beam_program(params, signal, lengths):
             memory, mem_len = encode(params, mcfg, signal, lengths)
             r = beam_decode(params, mcfg, dcfg, memory, mem_len)
             per_tok = r.scores[:, 0] / jnp.maximum(r.lengths[:, 0].astype(jnp.float32), 1.0)
             lps = jnp.broadcast_to(per_tok[:, None], r.tokens[:, 0].shape)
-            return r.tokens[:, 0], r.lengths[:, 0], lps
+            pos = jnp.zeros(r.tokens[:, 0].shape, jnp.int32)
+            return r.tokens[:, 0], r.lengths[:, 0], lps, pos
 
         program = greedy_program if dcfg.mode == "greedy" else beam_program
         if mesh_plan is not None:
@@ -112,15 +114,21 @@ class StreamingBasecaller:
                 return
             parts = per_read.pop(ridx)
             cb = rc.chunks
-            seqs, quals = [], []
+            seqs, quals, positions = [], [], []
             for ci in range(cb.n_chunks):
-                toks, tlen, lps = parts[ci]
+                toks, tlen, lps, pos = parts[ci]
                 seqs.append(DNA_VOCAB.decode(toks[:tlen]))
                 quals.append(_phred_from_log_probs(lps[:tlen]))
-            seq = stitch_chunks(
-                seqs, cb.starts, cb.lengths, cb.chunk_len, cb.chunk_overlap,
-                method=stitch_method,
-            )
+                positions.append(pos[:tlen])
+            if stitch_method == "attn" and cfg.decode.mode == "greedy":
+                from nanodecoder_tpu.io.stitch import stitch_chunks_attn
+
+                seq = stitch_chunks_attn(seqs, positions, cb.starts, cb.lengths)
+            else:
+                seq = stitch_chunks(
+                    seqs, cb.starts, cb.lengths, cb.chunk_len, cb.chunk_overlap,
+                    method=stitch_method if stitch_method != "attn" else "trim",
+                )
             qflat = np.concatenate(quals) if quals else np.zeros(0)
             mean_q = float(qflat.mean()) if qflat.size else 0.0
             if write_format == "fastq":
@@ -134,9 +142,9 @@ class StreamingBasecaller:
 
         def drain_one() -> None:
             dev_out, packed = in_flight.popleft()
-            tokens, tlens, lps = (np.asarray(x) for x in dev_out)
+            tokens, tlens, lps, pos = (np.asarray(x) for x in dev_out)
             for row, (ridx, ci) in enumerate(packed.sources):
-                per_read[ridx][ci] = (tokens[row], int(tlens[row]), lps[row])
+                per_read[ridx][ci] = (tokens[row], int(tlens[row]), lps[row], pos[row])
                 if len(per_read[ridx]) == pipe.reads[ridx].chunks.n_chunks:
                     finish_read(ridx)
 

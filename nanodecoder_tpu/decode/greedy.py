@@ -26,6 +26,8 @@ class GreedyResult(NamedTuple):
     lengths: jnp.ndarray     # (B,) int32 — tokens emitted incl. EOS
     token_log_probs: jnp.ndarray  # (B, max_len) f32 — log-prob of chosen token
     scores: jnp.ndarray      # (B,) f32 — summed log-probs
+    attn_pos: jnp.ndarray    # (B, max_len) int32 — per-token cross-attn
+    #                          argmax encoder position (alignment)
 
 
 def greedy_decode(params, cfg: ModelConfig, memory, mem_lengths) -> GreedyResult:
@@ -43,6 +45,7 @@ def greedy_decode(params, cfg: ModelConfig, memory, mem_lengths) -> GreedyResult
         cur=jnp.full((b,), BOS_ID, jnp.int32),
         tokens=jnp.full((b, tmax), PAD_ID, jnp.int32),
         lps=jnp.zeros((b, tmax), jnp.float32),
+        pos=jnp.zeros((b, tmax), jnp.int32),
         finished=jnp.zeros((b,), jnp.bool_),
         lengths=jnp.zeros((b,), jnp.int32),
         t=jnp.zeros((), jnp.int32),
@@ -52,7 +55,7 @@ def greedy_decode(params, cfg: ModelConfig, memory, mem_lengths) -> GreedyResult
         return jnp.logical_and(c["t"] < tmax, ~jnp.all(c["finished"]))
 
     def body(c):
-        log_probs, _attn, state = decode_step(params, cfg, c["cur"], c["state"])
+        log_probs, attn_pos, state = decode_step(params, cfg, c["cur"], c["state"])
         nxt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
         lp = jnp.take_along_axis(log_probs, nxt[:, None], axis=-1)[:, 0]
         # Finished rows keep emitting PAD with zero score.
@@ -61,10 +64,11 @@ def greedy_decode(params, cfg: ModelConfig, memory, mem_lengths) -> GreedyResult
         t = c["t"]
         tokens = jax.lax.dynamic_update_slice_in_dim(c["tokens"], nxt[:, None], t, axis=1)
         lps = jax.lax.dynamic_update_slice_in_dim(c["lps"], lp[:, None], t, axis=1)
+        pos = jax.lax.dynamic_update_slice_in_dim(c["pos"], attn_pos[:, None], t, axis=1)
         now_finished = jnp.logical_or(c["finished"], nxt == EOS_ID)
         lengths = jnp.where(c["finished"], c["lengths"], t + 1)
         return dict(
-            state=state, cur=nxt, tokens=tokens, lps=lps,
+            state=state, cur=nxt, tokens=tokens, lps=lps, pos=pos,
             finished=now_finished, lengths=lengths, t=t + 1,
         )
 
@@ -76,4 +80,5 @@ def greedy_decode(params, cfg: ModelConfig, memory, mem_lengths) -> GreedyResult
         lengths=lengths,
         token_log_probs=out["lps"],
         scores=jnp.sum(out["lps"], axis=-1),
+        attn_pos=out["pos"],
     )

@@ -85,7 +85,10 @@ class Translator:
         cfg = self.config.model
         memory, mem_lengths = encode(params, cfg, signal, lengths)
         res = greedy_decode(params, cfg, memory, mem_lengths)
-        return res.tokens, res.lengths, res.token_log_probs, res.scores
+        # Encoder position -> sample position (center of the conv window).
+        ds = cfg.time_downsample
+        sample_pos = res.attn_pos * ds + ds // 2
+        return res.tokens, res.lengths, res.token_log_probs, res.scores, sample_pos
 
     def _beam_program(self, params, signal, lengths):
         cfg = self.config.model
@@ -99,16 +102,19 @@ class Translator:
         best_lengths = res.lengths[:, 0]
         per_tok = res.scores[:, 0] / jnp.maximum(best_lengths.astype(jnp.float32), 1.0)
         lp_matrix = jnp.broadcast_to(per_tok[:, None], best_tokens.shape)
-        return best_tokens, best_lengths, lp_matrix, res.scores[:, 0]
+        # Beam search doesn't track per-hypothesis attention positions;
+        # the attn stitcher is a greedy-mode feature (zeros here).
+        pos = jnp.zeros(best_tokens.shape, jnp.int32)
+        return best_tokens, best_lengths, lp_matrix, res.scores[:, 0], pos
 
     # --- chunk-batch plumbing -------------------------------------------
 
     def decode_chunk_batch(self, chunks: np.ndarray, lengths: np.ndarray):
-        """chunks: (N, chunk_len) -> (tokens, tok_lengths, token_lps, scores)
-        as numpy, with padding rows stripped by the caller."""
+        """chunks: (N, chunk_len) -> (tokens, tok_lengths, token_lps,
+        scores, attn_sample_pos) as numpy, with padding rows stripped."""
         bsz = self.config.decode.batch_chunks
         n = chunks.shape[0]
-        out_tok, out_len, out_lps, out_scores = [], [], [], []
+        outs: list[list[np.ndarray]] = [[], [], [], [], []]
         for i in range(0, n, bsz):
             batch = chunks[i : i + bsz]
             blen = lengths[i : i + bsz]
@@ -118,17 +124,10 @@ class Translator:
                     [batch, np.zeros((bsz - real, batch.shape[1]), batch.dtype)]
                 )
                 blen = np.concatenate([blen, np.zeros((bsz - real,), blen.dtype)])
-            tok, tlen, lps, sc = self._decode_jit(jnp.asarray(batch), jnp.asarray(blen))
-            out_tok.append(np.asarray(tok[:real]))
-            out_len.append(np.asarray(tlen[:real]))
-            out_lps.append(np.asarray(lps[:real]))
-            out_scores.append(np.asarray(sc[:real]))
-        return (
-            np.concatenate(out_tok),
-            np.concatenate(out_len),
-            np.concatenate(out_lps),
-            np.concatenate(out_scores),
-        )
+            results = self._decode_jit(jnp.asarray(batch), jnp.asarray(blen))
+            for acc, r in zip(outs, results):
+                acc.append(np.asarray(r[:real]))
+        return tuple(np.concatenate(acc) for acc in outs)
 
     # --- read-level API --------------------------------------------------
 
@@ -138,14 +137,22 @@ class Translator:
             read.signal, scfg.normalization, scfg.mad_scale, scfg.clip_sigma
         )
         cb = chunk_signal(norm, scfg.chunk_len, scfg.chunk_overlap, scfg.min_chunk_fill)
-        tokens, tok_lengths, token_lps, _scores = self.decode_chunk_batch(
+        tokens, tok_lengths, token_lps, _scores, attn_pos = self.decode_chunk_batch(
             cb.chunks, cb.lengths
         )
         seqs = [self.vocab.decode(tokens[i, : tok_lengths[i]]) for i in range(cb.n_chunks)]
-        seq = stitch_chunks(
-            seqs, cb.starts, cb.lengths, scfg.chunk_len, scfg.chunk_overlap,
-            method=stitch_method,
-        )
+        if stitch_method == "attn" and self.config.decode.mode == "greedy":
+            from nanodecoder_tpu.io.stitch import stitch_chunks_attn
+
+            positions = [attn_pos[i, : tok_lengths[i]] for i in range(cb.n_chunks)]
+            seq = stitch_chunks_attn(seqs, positions, cb.starts, cb.lengths)
+        else:
+            if stitch_method == "attn":
+                stitch_method = "trim"  # beam mode: no positions tracked
+            seq = stitch_chunks(
+                seqs, cb.starts, cb.lengths, scfg.chunk_len, scfg.chunk_overlap,
+                method=stitch_method,
+            )
         # Mean qscore over emitted (non-pad) tokens of all chunks.
         qs = []
         for i in range(cb.n_chunks):

@@ -118,6 +118,39 @@ def _align_stitch(
     return "".join(pieces)
 
 
+def stitch_chunks_attn(
+    seqs: list[str],
+    positions: list[np.ndarray],
+    starts: np.ndarray,
+    lengths: np.ndarray,
+) -> str:
+    """Attention-aligned stitch: each decoded base carries the sample
+    position its cross-attention peaked at (decode/greedy attn_pos,
+    scaled to samples); a base belongs to the chunk whose "owned"
+    sample range — overlap midpoints, as in the trim rule — contains
+    its aligned position.  Exact where the proportional trim rule only
+    approximates, because the model itself supplies the base<->sample
+    alignment (reference analog: attention maps surfaced through the
+    translation builder, SURVEY.md §2.1)."""
+    k = len(seqs)
+    if k == 0:
+        return ""
+    if k == 1:
+        return seqs[0]
+    pieces: list[str] = []
+    for i in range(k):
+        lo_abs = -1e18 if i == 0 else (starts[i] + starts[i - 1] + int(lengths[i - 1])) / 2.0
+        hi_abs = (
+            (starts[i + 1] + starts[i] + int(lengths[i])) / 2.0
+            if i < k - 1
+            else 1e18
+        )
+        abs_pos = starts[i] + np.asarray(positions[i][: len(seqs[i])], np.float64)
+        keep = (abs_pos >= lo_abs) & (abs_pos < hi_abs)
+        pieces.append("".join(c for c, m in zip(seqs[i], keep) if m))
+    return "".join(pieces)
+
+
 def stitch_chunks(
     seqs: list[str],
     starts: np.ndarray,

@@ -115,20 +115,23 @@ def _attn_step(attn_params, n_heads, h, k_cache, v_cache, mask4d, valid_lens,
                use_pallas: bool):
     """One-token attention against a cached K/V — either the fused
     Pallas kernel (TPU hot path) or the jnp path.  k_cache/v_cache:
-    (B, T, H, Dh); h: (B, 1, D)."""
+    (B, T, H, Dh); h: (B, 1, D).  Returns (out, probs_or_None,
+    argmax_or_None): the Pallas kernel never materializes probs but
+    emits the head-mean argmax position directly."""
     if use_pallas:
         from nanodecoder_tpu.ops.attention import decode_attention
 
         b, t, nh, dh = k_cache.shape
         d = nh * dh
         q = nn.dense(attn_params["q"], h)[:, 0, :]  # (B, D)
-        ctx = decode_attention(
+        ctx, amax = decode_attention(
             q, k_cache.reshape(b, t, d), v_cache.reshape(b, t, d),
             valid_lens, n_heads,
             interpret=jax.default_backend() != "tpu",
         )
-        return nn.dense(attn_params["o"], ctx[:, None, :]), None
-    return nn.mha_step(attn_params, n_heads, h, k_cache, v_cache, mask4d)
+        return nn.dense(attn_params["o"], ctx[:, None, :]), None, amax
+    a, probs = nn.mha_step(attn_params, n_heads, h, k_cache, v_cache, mask4d)
+    return a, probs, None
 
 
 def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
@@ -144,6 +147,7 @@ def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
     self_valid = jnp.full((b,), step + 1, jnp.int32)
     new_layers = []
     attn_probs = None
+    attn_amax = None
     for layer, cache in zip(p["layers"], state["layers"]):
         h = nn.layer_norm(layer["ln1"], y1)
         # Project this token's K/V and write them into the cache at `step`.
@@ -151,11 +155,11 @@ def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
         v1 = nn._split_heads(nn.dense(layer["self_attn"]["v"], h), cfg.dec_heads)
         self_k = jax.lax.dynamic_update_slice_in_dim(cache["self_k"], k1, step, axis=1)
         self_v = jax.lax.dynamic_update_slice_in_dim(cache["self_v"], v1, step, axis=1)
-        a, _ = _attn_step(layer["self_attn"], cfg.dec_heads, h, self_k, self_v,
-                          self_mask, self_valid, cfg.use_pallas)
+        a, _, _ = _attn_step(layer["self_attn"], cfg.dec_heads, h, self_k, self_v,
+                             self_mask, self_valid, cfg.use_pallas)
         y1 = y1 + a
         h = nn.layer_norm(layer["ln2"], y1)
-        a, attn_probs = _attn_step(
+        a, attn_probs, attn_amax = _attn_step(
             layer["cross_attn"], cfg.dec_heads, h,
             cache["cross_k"], cache["cross_v"], state["cross_mask"],
             state["mem_lengths"], cfg.use_pallas,
@@ -166,7 +170,7 @@ def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
         new_layers.append({**cache, "self_k": self_k, "self_v": self_v})
     out = nn.layer_norm(p["ln_out"], y1)
     new_state = {**state, "layers": new_layers, "step": step + 1}
-    return out, attn_probs, new_state
+    return out, (attn_probs, attn_amax), new_state
 
 
 # ---------------------------------------------------------------------------

@@ -112,22 +112,24 @@ def init_decode_state(params, cfg: ModelConfig, memory, mem_lengths):
 
 def decode_step(params, cfg: ModelConfig, tokens, state):
     """One decode step.  tokens: (B,) int32 current input tokens.
-    Returns (log_probs (B, V) f32, cross-attn (B, S), new_state)."""
+    Returns (log_probs (B, V) f32, attn_pos (B,) i32 — the head-mean
+    cross-attention argmax over encoder positions (the token's aligned
+    source position, consumed by the attention stitcher), new_state)."""
     y1 = _embed_tokens(params, cfg, tokens[:, None], positions=state["step"])
     if cfg.decoder_type == "transformer":
-        hidden, attn, new_state = dec.transformer_decoder_step(
+        hidden, (attn, amax), new_state = dec.transformer_decoder_step(
             params["decoder"], cfg, y1, state
         )
-        if attn is None:  # Pallas path doesn't materialize probs
-            b, s = state["mem_lengths"].shape[0], state["cross_mask"].shape[-1]
-            attn_mean = jnp.zeros((b, s), jnp.float32)
+        if amax is not None:  # Pallas path emits argmax directly
+            attn_pos = amax
         else:
-            attn_mean = jnp.mean(attn[:, :, 0, :], axis=1)  # (B, S) mean over heads
+            attn_mean = jnp.mean(attn[:, :, 0, :].astype(jnp.float32), axis=1)
+            attn_pos = jnp.argmax(attn_mean, axis=-1).astype(jnp.int32)
     else:
         hidden, attn, new_state = dec.rnn_decoder_step(params["decoder"], cfg, y1, state)
-        attn_mean = attn[:, 0, 0, :]
+        attn_pos = jnp.argmax(attn[:, 0, 0, :].astype(jnp.float32), axis=-1).astype(jnp.int32)
     log_probs = generator_log_probs(params, hidden[:, 0, :])
-    return log_probs, attn_mean, new_state
+    return log_probs, attn_pos, new_state
 
 
 def reorder_decode_state(state, origin_idx):

@@ -56,7 +56,8 @@ def decode_attention_reference(q, k_cache, v_cache, valid_lens, n_heads: int):
     return out.reshape(b, d).astype(q.dtype)
 
 
-def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, n_heads: int):
+def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, amax_ref, *,
+                        n_heads: int):
     t, d = k_ref.shape[1], k_ref.shape[2]
     dh = d // n_heads
     scale = 1.0 / math.sqrt(dh)
@@ -80,6 +81,15 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, n_heads: int):
     z = jnp.sum(p, axis=0, keepdims=True)                # (1, H)
     p = p / z
 
+    # Head-mean attention argmax — the token's aligned source position
+    # (consumed by the attention-based stitcher; reference analog:
+    # TranslationBuilder attaching attention maps, SURVEY.md §2.1).
+    pmean = jnp.sum(p, axis=1, keepdims=True)            # (T, 1) ∝ mean
+    pm_max = jnp.max(pmean, axis=0, keepdims=True)
+    is_max = pmean >= pm_max
+    tt_ids = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    amax_ref[0] = jnp.min(jnp.where(is_max, tt_ids, 2 ** 30))
+
     # Broadcast head probs across head_dim lanes: G[t, i] = p[t, i//dh]
     # via one more tiny MXU matmul with the block-membership matrix.
     memb = (h_ids.T == i_ids.T // dh).astype(jnp.float32)  # (H, D)
@@ -95,7 +105,7 @@ def decode_attention(q, k_cache, v_cache, valid_lens, n_heads: int,
     decode_attention_reference for semantics."""
     b, t, d = k_cache.shape
     grid = (b,)
-    out = pl.pallas_call(
+    out, amax = pl.pallas_call(
         functools.partial(_decode_attn_kernel, n_heads=n_heads),
         grid=grid,
         in_specs=[
@@ -104,8 +114,14 @@ def decode_attention(q, k_cache, v_cache, valid_lens, n_heads: int,
             pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, d), q.dtype),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * d * 2,
@@ -113,4 +129,4 @@ def decode_attention(q, k_cache, v_cache, valid_lens, n_heads: int,
             transcendentals=b * t * n_heads,
         ),
     )(valid_lens.astype(jnp.int32), q, k_cache, v_cache)
-    return out
+    return out, amax

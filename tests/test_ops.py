@@ -18,7 +18,7 @@ def test_decode_attention_matches_reference(dtype, b, t, heads, dh, rng_np):
     v = jnp.asarray(rng_np.normal(size=(b, t, d)), dtype)
     valid = jnp.asarray(rng_np.integers(1, t + 1, size=(b,)), jnp.int32)
     ref = decode_attention_reference(q, k, v, valid, heads)
-    got = decode_attention(q, k, v, valid, heads, interpret=True)
+    got, amax = decode_attention(q, k, v, valid, heads, interpret=True)
     atol = 1e-5 if dtype == jnp.float32 else 5e-2
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=atol, rtol=1e-2
@@ -33,11 +33,11 @@ def test_decode_attention_respects_valid_len(rng_np):
     k = jnp.asarray(rng_np.normal(size=(b, t, d)), jnp.float32)
     v = jnp.asarray(rng_np.normal(size=(b, t, d)), jnp.float32)
     valid = jnp.array([5, 17], jnp.int32)
-    out1 = decode_attention(q, k, v, valid, heads, interpret=True)
+    out1, _ = decode_attention(q, k, v, valid, heads, interpret=True)
     # Corrupt the invalid tail — output must be identical.
     k2 = k.at[0, 5:].set(99.0).at[1, 17:].set(-99.0)
     v2 = v.at[0, 5:].set(99.0).at[1, 17:].set(-99.0)
-    out2 = decode_attention(q, k2, v2, valid, heads, interpret=True)
+    out2, _ = decode_attention(q, k2, v2, valid, heads, interpret=True)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
 
 
@@ -133,3 +133,27 @@ def test_beam_decode_pallas_parity(rng_np):
     res_p = beam_decode(params, cfg_p, dcfg_p, memory, mem_len)
     np.testing.assert_array_equal(np.asarray(res.tokens), np.asarray(res_p.tokens))
     np.testing.assert_allclose(np.asarray(res.scores), np.asarray(res_p.scores), atol=1e-4)
+
+
+def test_decode_attention_argmax_output(rng_np):
+    """The kernel's argmax output must equal the reference head-mean
+    attention argmax (lowest index on ties)."""
+    b, t, heads, dh = 3, 32, 4, 16
+    d = heads * dh
+    q = jnp.asarray(rng_np.normal(size=(b, d)), jnp.float32)
+    k = jnp.asarray(rng_np.normal(size=(b, t, d)), jnp.float32)
+    v = jnp.asarray(rng_np.normal(size=(b, t, d)), jnp.float32)
+    valid = jnp.array([32, 20, 7], jnp.int32)
+    _, amax = decode_attention(q, k, v, valid, heads, interpret=True)
+    # reference probs
+    import math
+    qh = np.asarray(q).reshape(b, heads, dh)
+    kh = np.asarray(k).reshape(b, t, heads, dh)
+    logits = np.einsum("bhd,bthd->bht", qh, kh) / math.sqrt(dh)
+    mask = np.arange(t)[None, None, :] < np.asarray(valid)[:, None, None]
+    logits = np.where(mask, logits, -1e9)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    want = p.mean(1).argmax(-1)
+    np.testing.assert_array_equal(np.asarray(amax), want)
+    assert (np.asarray(amax) < np.asarray(valid)).all()

@@ -113,3 +113,29 @@ class TestStitch:
         lengths = np.array([100, 100, 100])
         out = stitch_chunks(seqs, starts, lengths, 100, 0, method="trim")
         assert out == "AAAACCCCGGGG"
+
+
+class TestAttnStitch:
+    def test_positions_partition_exactly(self):
+        from nanodecoder_tpu.io.stitch import stitch_chunks_attn
+
+        # Two chunks overlapping by 100 samples; tokens carry exact
+        # positions — each base must be kept exactly once.
+        starts = np.array([0, 400])
+        lengths = np.array([500, 500])
+        # chunk 0: bases at samples 50..450 step 50  -> ACGTACGTA
+        seqs = ["ACGTACGTA", "GTACGTACG"]
+        pos0 = np.arange(50, 500, 50)
+        # chunk 1 positions are chunk-relative: bases at abs 410..810
+        pos1 = np.arange(10, 500, 50)
+        out = stitch_chunks_attn(seqs, [pos0, pos1], starts, lengths)
+        # ownership midpoint = (400 + 0 + 500)/2 = 450 absolute
+        keep0 = "".join(c for c, p in zip(seqs[0], pos0) if p < 450)
+        keep1 = "".join(c for c, p in zip(seqs[1], pos1 + 400) if p >= 450)
+        assert out == keep0 + keep1
+
+    def test_single_chunk(self):
+        from nanodecoder_tpu.io.stitch import stitch_chunks_attn
+
+        assert stitch_chunks_attn(["ACG"], [np.array([1, 2, 3])],
+                                  np.array([0]), np.array([100])) == "ACG"
