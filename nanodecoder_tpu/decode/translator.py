@@ -107,6 +107,27 @@ class Translator:
         pos = jnp.zeros(best_tokens.shape, jnp.int32)
         return best_tokens, best_lengths, lp_matrix, res.scores[:, 0], pos
 
+    # --- n-best (reference parity: Translator n_best output) -------------
+
+    def decode_nbest(self, chunks: np.ndarray, lengths: np.ndarray):
+        """Beam-mode n-best hypotheses per chunk: returns
+        (tokens (N, n_best, T), lengths (N, n_best), scores (N, n_best))
+        as numpy.  Requires decode.mode == 'beam'."""
+        if self.config.decode.mode != "beam":
+            raise ValueError("decode_nbest requires beam mode")
+        if not hasattr(self, "_nbest_p"):
+            cfg, dcfg = self.config.model, self.config.decode
+
+            def program(params, signal, lengths):
+                memory, mem_lengths = encode(params, cfg, signal, lengths)
+                res = beam_decode(params, cfg, dcfg, memory, mem_lengths)
+                nb = min(dcfg.n_best, dcfg.beam_size)
+                return res.tokens[:, :nb], res.lengths[:, :nb], res.scores[:, :nb]
+
+            self._nbest_p = jax.jit(program)
+        tok, tl, sc = self._nbest_p(self.params, jnp.asarray(chunks), jnp.asarray(lengths))
+        return np.asarray(tok), np.asarray(tl), np.asarray(sc)
+
     # --- chunk-batch plumbing -------------------------------------------
 
     def decode_chunk_batch(self, chunks: np.ndarray, lengths: np.ndarray):

@@ -170,3 +170,36 @@ def test_greedy_jit_cpu_matches_nonjit(setup):
     eager = greedy_decode(params, cfg, memory, mem_len)
     jitted = jax.jit(lambda m, l: greedy_decode(params, cfg, m, l))(memory, mem_len)
     np.testing.assert_array_equal(np.asarray(eager.tokens), np.asarray(jitted.tokens))
+
+
+def test_coverage_penalty_semantics():
+    from nanodecoder_tpu.decode.penalties import coverage_penalty
+
+    # Full coverage (all mass 1.0) => wu penalty 0
+    full = jnp.ones((2, 8))
+    np.testing.assert_allclose(np.asarray(coverage_penalty(full, "wu", 0.2)), 0.0,
+                               atol=1e-6)
+    # Under-covered positions are penalized
+    partial = jnp.full((1, 8), 0.5)
+    assert float(coverage_penalty(partial, "wu", 0.2)[0]) > 0
+    # none => zeros
+    assert float(coverage_penalty(partial, "none", 0.2)[0]) == 0.0
+
+
+def test_translator_nbest(setup):
+    cfg, params, memory, mem_len = setup
+    import dataclasses as dc
+
+    from nanodecoder_tpu.config import tiny_test_config
+    from nanodecoder_tpu.decode.translator import Translator
+
+    config = tiny_test_config()
+    config = dc.replace(config, decode=dc.replace(config.decode, mode="beam",
+                                                  beam_size=3, n_best=2))
+    tr = Translator(params, config)
+    rng = np.random.default_rng(5)
+    chunks = rng.normal(size=(2, 256)).astype(np.float32)
+    lens = np.full((2,), 256, np.int32)
+    tok, tl, sc = tr.decode_nbest(chunks, lens)
+    assert tok.shape[:2] == (2, 2)
+    assert (np.diff(sc, axis=1) <= 1e-6).all()  # best-first
