@@ -111,6 +111,8 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.998
     grad_clip: float = 5.0
+    guided_attention_weight: float = 0.0  # diagonal guided-attn aux loss
+    guided_attention_sigma: float = 0.2
     train_steps: int = 10000
     valid_every: int = 1000
     save_every: int = 1000

@@ -48,6 +48,34 @@ def label_smoothed_nll(log_probs, targets, smoothing: float = 0.1,
     return loss_sum, n_tokens, n_correct
 
 
+def guided_attention_loss(attn, tgt_lengths, enc_lengths, sigma: float = 0.2):
+    """Diagonal guided-attention auxiliary loss (Tacotron-style).
+
+    Basecalling alignment is monotonic and near-linear within a chunk
+    (bases are roughly uniformly spread over samples), so penalizing
+    cross-attention mass far from the diagonal bootstraps alignment
+    through the no-gradient plateau that pure NLL suffers at the start
+    of training.  Training-only; inference is untouched.
+
+    attn: (B, H, T, S) cross-attention probs (last decoder layer).
+    tgt_lengths: (B,) valid target tokens; enc_lengths: (B,) valid
+    encoder positions.  Returns mean penalty over valid (b, h, t).
+    """
+    b, h, t, s = attn.shape
+    t_ids = jnp.arange(t, dtype=jnp.float32)[None, :, None]  # (1, T, 1)
+    s_ids = jnp.arange(s, dtype=jnp.float32)[None, None, :]  # (1, 1, S)
+    tl = jnp.maximum(tgt_lengths.astype(jnp.float32), 1.0)[:, None, None]
+    el = jnp.maximum(enc_lengths.astype(jnp.float32), 1.0)[:, None, None]
+    # w[b,t,s] = 1 - exp(-(s/el - t/tl)^2 / (2 sigma^2)), zero outside valid
+    diff = s_ids / el - t_ids / tl
+    w = 1.0 - jnp.exp(-jnp.square(diff) / (2.0 * sigma * sigma))
+    valid = ((t_ids < tl) & (s_ids < el)).astype(jnp.float32)
+    w = w * valid  # (B, T, S)
+    pen = jnp.sum(attn.astype(jnp.float32) * w[:, None, :, :], axis=(2, 3))  # (B, H)
+    denom = jnp.maximum(jnp.sum(valid[:, :, 0], axis=-1), 1.0)[:, None]  # valid T rows
+    return jnp.mean(pen / denom)
+
+
 def loss_and_metrics(log_probs, targets, smoothing: float = 0.1):
     """Mean-per-token loss (for grad) + metrics dict (for reporting)."""
     loss_sum, n_tokens, n_correct = label_smoothed_nll(log_probs, targets, smoothing)

@@ -45,14 +45,25 @@ def make_train_step(config: Config, optimizer) -> Callable:
     """
     mcfg = config.model
     smoothing = config.train.label_smoothing
+    ga_weight = config.train.guided_attention_weight
+    ga_sigma = config.train.guided_attention_sigma
 
     def micro_loss(params, mb, rng):
         mem, mem_len = encode(params, mcfg, mb["signal"], mb["sig_lengths"],
                               rng=rng, train=True)
-        log_probs, _ = decode_teacher_forced(
+        log_probs, attn = decode_teacher_forced(
             params, mcfg, mb["tgt_in"], mem, mem_len, rng=rng, train=True
         )
-        return loss_and_metrics(log_probs, mb["tgt_out"], smoothing)
+        loss, metrics = loss_and_metrics(log_probs, mb["tgt_out"], smoothing)
+        if ga_weight > 0.0 and attn is not None:
+            from nanodecoder_tpu.train.loss import guided_attention_loss
+            from nanodecoder_tpu.vocab import PAD_ID
+
+            tgt_lengths = jnp.sum(mb["tgt_out"] != PAD_ID, axis=-1)
+            loss = loss + ga_weight * guided_attention_loss(
+                attn, tgt_lengths, mem_len, ga_sigma
+            )
+        return loss, metrics
 
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 

@@ -137,3 +137,40 @@ class TestEarlyStopping:
         es.best = 0.5
         assert not es.improved(0.4)
         assert es.improved(0.6)
+
+
+class TestGuidedAttention:
+    def test_diagonal_attn_scores_lower(self):
+        from nanodecoder_tpu.train.loss import guided_attention_loss
+
+        b, h, t, s = 1, 2, 8, 16
+        tl = jnp.array([8], jnp.int32)
+        el = jnp.array([16], jnp.int32)
+        # Perfectly diagonal attention: token i -> position 2i
+        diag = np.zeros((b, h, t, s), np.float32)
+        for i in range(t):
+            diag[0, :, i, 2 * i] = 1.0
+        # Anti-diagonal (worst case)
+        anti = np.zeros_like(diag)
+        for i in range(t):
+            anti[0, :, i, s - 1 - 2 * i] = 1.0
+        l_diag = float(guided_attention_loss(jnp.asarray(diag), tl, el))
+        l_anti = float(guided_attention_loss(jnp.asarray(anti), tl, el))
+        assert l_diag < 0.2 < l_anti
+
+    def test_train_step_with_ga(self, tiny_config):
+        import dataclasses as dc
+
+        from nanodecoder_tpu.train.optim import build_optimizer
+        from nanodecoder_tpu.train.trainer import TrainState, make_train_step
+        from nanodecoder_tpu.train.data import synthetic_batches
+
+        cfg = dc.replace(tiny_config, train=dc.replace(
+            tiny_config.train, guided_attention_weight=0.3))
+        params = init_model(jax.random.PRNGKey(0), cfg.model)
+        opt, _ = build_optimizer(cfg.train, cfg.model.d_model)
+        state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+        step = jax.jit(make_train_step(cfg, opt))
+        batch = next(synthetic_batches(cfg, seed=0))
+        state2, m = step(state, batch, jax.random.PRNGKey(1))
+        assert int(m["n_tokens"]) > 0
