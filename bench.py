@@ -23,12 +23,63 @@ import sys
 import time
 
 
+def _bench_engine(args, config, params) -> None:
+    """Full streaming basecall throughput: synthetic fast5 flowcell ->
+    async ingest -> device decode -> stitch -> FASTQ (discarded)."""
+    import io as _io
+    import tempfile
+
+    import h5py
+    import numpy as np
+
+    from nanodecoder_tpu.decode.engine import StreamingBasecaller
+    from nanodecoder_tpu.train.data import SimSpec, simulate_read
+    from nanodecoder_tpu.utils.statistics import ThroughputMeter
+
+    spec = SimSpec()
+    levels = spec.level_table()
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="bench_fast5_")
+    n_files, reads_per_file = 4, 8
+    files = []
+    for fi in range(n_files):
+        path = os.path.join(tmp, f"r{fi}.fast5")
+        with h5py.File(path, "w") as f:
+            for ri in range(reads_per_file):
+                n_bases = int(rng.integers(2000, 6000))
+                _seq, sig = simulate_read(rng, n_bases, spec, levels)
+                raw = f.create_group(f"read_bench{fi}_{ri}/Raw")
+                raw.attrs["read_id"] = f"bench{fi}_{ri}".encode()
+                raw.create_dataset("Signal", data=(sig * 1000).astype(np.int16))
+        files.append(path)
+
+    caller = StreamingBasecaller(params, config)
+    # Warmup pass (compile) on one file.
+    caller.run(files[:1], _io.StringIO())
+    meter = ThroughputMeter(n_reads=0)
+    out = _io.StringIO()
+    meter2 = caller.run(files, out, meter=meter)
+    rates = meter2.rates()
+    print(f"# engine: {meter2.n_reads} reads, {meter2.n_chunks} chunks, "
+          f"{rates['reads_per_sec']:.2f} reads/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "streaming_basecall_samples_per_sec_per_chip",
+        "value": round(rates["ksamples_per_sec"], 2),
+        "unit": "ksamples/s",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     ap.add_argument("--seconds", type=float, default=10.0, help="min measure time")
     ap.add_argument("--beam", action="store_true", help="beam decode instead of greedy")
     ap.add_argument("--batches", type=int, default=8, help="timed batches minimum")
+    ap.add_argument("--engine", action="store_true",
+                    help="benchmark the full streaming path (ingest+decode+"
+                         "stitch over generated fast5 files) instead of raw "
+                         "device decode (BASELINE config C4)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -79,6 +130,10 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}, "
           f"params: {n_params/1e6:.2f}M", file=sys.stderr)
+
+    if args.engine:
+        _bench_engine(args, config, params)
+        return
 
     translator = Translator(params, config)
 

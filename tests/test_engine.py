@@ -120,3 +120,28 @@ class TestStreamingEngine:
         out = io.StringIO()
         engine.run([str(tmp_path / "d.fast5")], out, write_format="fasta")
         assert out.getvalue().startswith(">rf\n")
+
+
+class TestTranslator:
+    def test_decode_chunk_batch_strips_padding(self, tiny_params, tiny_config, rng_np):
+        from nanodecoder_tpu.decode.translator import Translator
+
+        tr = Translator(tiny_params, tiny_config)
+        # 6 chunks with batch_chunks=4 -> two device batches, second padded.
+        n = 6
+        clen = tiny_config.signal.chunk_len
+        chunks = rng_np.normal(size=(n, clen)).astype(np.float32)
+        lengths = np.full((n,), clen, np.int32)
+        tok, tlen, lps, sc, pos = tr.decode_chunk_batch(chunks, lengths)
+        assert tok.shape[0] == n and tlen.shape[0] == n
+        assert lps.shape[0] == n and sc.shape[0] == n and pos.shape[0] == n
+
+    def test_basecall_read_attn_stitch(self, tiny_params, tiny_config, rng_np):
+        from nanodecoder_tpu.decode.translator import Translator
+        from nanodecoder_tpu.io.fast5 import RawRead
+
+        tr = Translator(tiny_params, tiny_config)
+        sig = rng_np.normal(size=1200).astype(np.float32)
+        bc = tr.basecall_read(RawRead("x", sig, "mem"), stitch_method="attn")
+        assert bc.read_id == "x"
+        assert bc.n_chunks >= 2
