@@ -35,7 +35,9 @@ def initialize_multihost(coordinator: str | None = None,
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
         or (num_processes or 0) > 1
     )
-    if want_init and jax.process_count() == 1:
+    # NB: do NOT touch jax.process_count()/jax.devices() before
+    # initialize() — any backend-initializing call makes it too late.
+    if want_init:
         kwargs = {}
         if coordinator:
             kwargs["coordinator_address"] = coordinator
@@ -43,7 +45,11 @@ def initialize_multihost(coordinator: str | None = None,
             kwargs["num_processes"] = num_processes
         if process_id is not None:
             kwargs["process_id"] = process_id
-        jax.distributed.initialize(**kwargs)
+        try:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError as e:  # already initialized (e.g. re-entry)
+            if "already" not in str(e):
+                raise
     pid, pcount = jax.process_index(), jax.process_count()
     log.info("process %d / %d, %d local / %d global devices",
              pid, pcount, jax.local_device_count(), jax.device_count())
