@@ -57,6 +57,11 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.banded_edit_distance.restype = ctypes.c_int
+        lib.banded_edit_distance.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
     except OSError:
@@ -70,3 +75,47 @@ def best_overlap_len_native(left: bytes, right: bytes, max_k: int) -> int | None
     if lib is None:
         return None
     return int(lib.best_overlap_len(left, len(left), right, len(right), max_k))
+
+
+def edit_distance(a: str, b: str, band: int | None = None) -> int:
+    """Levenshtein distance.  Native banded implementation, widening
+    the band until it covers the optimum; pure-python fallback."""
+    ab, bb = a.encode(), b.encode()
+    lib = load()
+    if lib is not None:
+        band = band or max(16, abs(len(a) - len(b)) + 8)
+        while True:
+            d = int(lib.banded_edit_distance(ab, len(ab), bb, len(bb), band))
+            # The true distance is <= max(n, m); a band >= distance is
+            # sufficient, so stop once the result fits within the band.
+            if 0 <= d <= band or band >= max(len(a), len(b)):
+                return d if d >= 0 else max(len(a), len(b))
+            band *= 2
+    # numpy fallback (full DP)
+    import numpy as np
+
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return n or m
+    av = np.frombuffer(ab, np.uint8)
+    bv = np.frombuffer(bb, np.uint8)
+    prev = np.arange(m + 1)
+    for i in range(1, n + 1):
+        cur = np.empty(m + 1, np.int64)
+        cur[0] = i
+        sub = prev[:-1] + (av[i - 1] != bv)
+        np.minimum(sub, prev[1:] + 1, out=sub)
+        # left-to-right dependency for insertions
+        run = sub.copy()
+        for j in range(1, m):  # pragma: no cover (fallback path)
+            run[j] = min(run[j], run[j - 1] + 1)
+        cur[1:] = run
+        prev = cur
+    return int(prev[m])
+
+
+def read_identity(called: str, truth: str) -> float:
+    """1 - edit_distance/len(truth) — the standard read-identity metric."""
+    if not truth:
+        return 1.0 if not called else 0.0
+    return max(0.0, 1.0 - edit_distance(called, truth) / len(truth))
