@@ -76,6 +76,10 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=10.0, help="min measure time")
     ap.add_argument("--beam", action="store_true", help="beam decode instead of greedy")
     ap.add_argument("--batches", type=int, default=8, help="timed batches minimum")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override chunks per device batch (default: config C2 = 32)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the Pallas decode-attention/beam kernels")
     ap.add_argument("--engine", action="store_true",
                     help="benchmark the full streaming path (ingest+decode+"
                          "stitch over generated fast5 files) instead of raw "
@@ -110,7 +114,6 @@ def main() -> None:
         config = dataclasses.replace(
             config, decode=dataclasses.replace(config.decode, mode="beam")
         )
-
     if os.path.exists(ckpt_npz):
         from nanodecoder_tpu.train.checkpoint import load_params_npz
 
@@ -125,6 +128,16 @@ def main() -> None:
     else:
         params = init_model(jax.random.PRNGKey(0), config.model)
         print("# params: RANDOM INIT (decode lengths unrealistic)", file=sys.stderr)
+    if args.pallas:  # after checkpoint-config load so it isn't overwritten
+        config = dataclasses.replace(
+            config,
+            model=dataclasses.replace(config.model, use_pallas=True),
+            decode=dataclasses.replace(config.decode, use_pallas=True),
+        )
+    if args.batch:
+        config = dataclasses.replace(
+            config, decode=dataclasses.replace(config.decode, batch_chunks=args.batch)
+        )
     n_params = param_count(params)
 
     dev = jax.devices()[0]

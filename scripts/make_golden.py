@@ -62,17 +62,19 @@ def main() -> int:
     params = load_params_npz(npz, init_model(jax.random.PRNGKey(0), config.model))
     tr = Translator(params, config)
 
+    from nanodecoder_tpu.native import read_identity
+
     golden = {"config": "flagship/f32/greedy", "reads": {}}
     for rid, true_seq, sig in golden_reads():
         bc = tr.basecall_read(RawRead(rid, sig, "sim"))
-        matches = sum(a == b for a, b in zip(bc.sequence, true_seq))
+        ident = read_identity(bc.sequence, true_seq)
         golden["reads"][rid] = {
             "sequence": bc.sequence,
             "n_true_bases": len(true_seq),
-            "approx_match_frac": round(matches / max(len(true_seq), 1), 4),
+            "identity": round(ident, 4),
         }
         print(f"{rid}: {len(bc.sequence)} bases called / {len(true_seq)} true, "
-              f"crude match {golden['reads'][rid]['approx_match_frac']}")
+              f"identity {ident:.4f}")
     out_path = os.path.join(REPO, "tests", "golden", "flagship_golden.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:

@@ -57,8 +57,8 @@ def test_golden_basecalls_exact(translator):
 
 def test_golden_accuracy_floor():
     """The stored goldens themselves must show the model actually
-    learned (crude positional match vs simulator truth)."""
+    learned (edit-distance read identity vs simulator truth)."""
     with open(GOLDEN) as f:
         golden = json.load(f)
     for rid, rec in golden["reads"].items():
-        assert rec["approx_match_frac"] > 0.5, (rid, rec["approx_match_frac"])
+        assert rec["identity"] > 0.75, (rid, rec["identity"])
