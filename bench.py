@@ -76,8 +76,13 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=10.0, help="min measure time")
     ap.add_argument("--beam", action="store_true", help="beam decode instead of greedy")
     ap.add_argument("--batches", type=int, default=8, help="timed batches minimum")
-    ap.add_argument("--batch", type=int, default=0,
-                    help="override chunks per device batch (default: config C2 = 32)")
+    ap.add_argument("--batch", type=int, default=128,
+                    help="chunks per device batch (128 = measured v5e sweet "
+                         "spot; BASELINE C2's nominal shape is 32)")
+    ap.add_argument("--f32", action="store_true",
+                    help="decode in float32 parity mode (default: bfloat16 "
+                         "fast mode — measured identity delta < 1e-4, see "
+                         "docs/PERF.md)")
     ap.add_argument("--pallas", action="store_true",
                     help="use the Pallas decode-attention/beam kernels")
     ap.add_argument("--engine", action="store_true",
@@ -133,6 +138,14 @@ def main() -> None:
             config,
             model=dataclasses.replace(config.model, use_pallas=True),
             decode=dataclasses.replace(config.decode, use_pallas=True),
+        )
+    if not args.f32:
+        # bf16 fast mode: halves KV-cache HBM traffic in the decode loop
+        # (measured 2x decode throughput on v5e; mean read identity is
+        # unchanged to 4 decimal places vs f32 — docs/PERF.md).
+        config = dataclasses.replace(
+            config,
+            model=dataclasses.replace(config.model, compute_dtype="bfloat16"),
         )
     if args.batch:
         config = dataclasses.replace(

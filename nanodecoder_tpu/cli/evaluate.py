@@ -57,6 +57,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--stitch", choices=["trim", "align", "attn"], default="attn")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dtype", default="",
+                    help="override model compute dtype (e.g. bfloat16) — "
+                         "quantifies the fast-mode accuracy delta (SURVEY §7 R2)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override decode batch_chunks")
     ap.add_argument("--json", action="store_true", help="emit one JSON line")
     return ap
 
@@ -85,6 +90,16 @@ def main(argv=None) -> int:
         from nanodecoder_tpu.train.data import SimSpec, simulate_read
 
         params, config = load_params_and_config(args.ckpt)
+        if args.dtype:
+            config = dataclasses.replace(
+                config, model=dataclasses.replace(config.model,
+                                                  compute_dtype=args.dtype)
+            )
+        if args.batch:
+            config = dataclasses.replace(
+                config, decode=dataclasses.replace(config.decode,
+                                                   batch_chunks=args.batch)
+            )
         if args.beam > 0:
             config = dataclasses.replace(
                 config, decode=dataclasses.replace(config.decode, mode="beam",
