@@ -57,70 +57,80 @@ def decode_attention_reference(q, k_cache, v_cache, valid_lens, n_heads: int):
 
 
 def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, amax_ref, *,
-                        n_heads: int):
+                        n_heads: int, block_b: int):
     t, d = k_ref.shape[1], k_ref.shape[2]
     dh = d // n_heads
     scale = 1.0 / math.sqrt(dh)
-    valid = len_ref[0]
+    blk = pl.program_id(0)
 
-    q = q_ref[:].astype(jnp.float32)  # (1, D)
-    k = k_ref[0].astype(jnp.float32)  # (T, D)
-    v = v_ref[0].astype(jnp.float32)  # (T, D)
-
-    # Block-diagonal query matrix: qmat[i, h] = q[0, i] if i//dh == h.
     i_ids = jax.lax.broadcasted_iota(jnp.int32, (d, n_heads), 0)
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (d, n_heads), 1)
-    qmat = jnp.where(i_ids // dh == h_ids, q.reshape(d, 1), 0.0)
-
-    scores = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # (T, H)
-    t_ids = jax.lax.broadcasted_iota(jnp.int32, (t, n_heads), 0)
-    scores = jnp.where(t_ids < valid, scores, NEG_INF)
-
-    m = jnp.max(scores, axis=0, keepdims=True)          # (1, H)
-    p = jnp.exp(scores - m)                              # (T, H)
-    z = jnp.sum(p, axis=0, keepdims=True)                # (1, H)
-    p = p / z
-
-    # Head-mean attention argmax — the token's aligned source position
-    # (consumed by the attention-based stitcher; reference analog:
-    # TranslationBuilder attaching attention maps, SURVEY.md §2.1).
-    pmean = jnp.sum(p, axis=1, keepdims=True)            # (T, 1) ∝ mean
-    pm_max = jnp.max(pmean, axis=0, keepdims=True)
-    is_max = pmean >= pm_max
-    tt_ids = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
-    amax_ref[0] = jnp.min(jnp.where(is_max, tt_ids, 2 ** 30))
-
-    # Broadcast head probs across head_dim lanes: G[t, i] = p[t, i//dh]
-    # via one more tiny MXU matmul with the block-membership matrix.
     memb = (h_ids.T == i_ids.T // dh).astype(jnp.float32)  # (H, D)
-    g = jnp.dot(p, memb, preferred_element_type=jnp.float32)  # (T, D)
-    out = jnp.sum(g * v, axis=0, keepdims=True)          # (1, D)
-    o_ref[:] = out.astype(o_ref.dtype)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (t, n_heads), 0)
+    tt_ids = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+
+    for r in range(block_b):  # unrolled over the row block
+        valid = len_ref[blk * block_b + r]
+        q = q_ref[r].astype(jnp.float32)  # (D,)
+        k = k_ref[r].astype(jnp.float32)  # (T, D)
+        v = v_ref[r].astype(jnp.float32)  # (T, D)
+
+        # Block-diagonal query matrix: qmat[i, h] = q[i] if i//dh == h,
+        # so all heads' scores come from ONE (T,D)x(D,H) MXU matmul.
+        qmat = jnp.where(i_ids // dh == h_ids, q.reshape(d, 1), 0.0)
+
+        scores = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # (T, H)
+        scores = jnp.where(t_ids < valid, scores, NEG_INF)
+
+        m = jnp.max(scores, axis=0, keepdims=True)          # (1, H)
+        p = jnp.exp(scores - m)                              # (T, H)
+        z = jnp.sum(p, axis=0, keepdims=True)                # (1, H)
+        p = p / z
+
+        # Head-mean attention argmax — the token's aligned source position
+        # (consumed by the attention-based stitcher; reference analog:
+        # TranslationBuilder attaching attention maps, SURVEY.md §2.1).
+        pmean = jnp.sum(p, axis=1, keepdims=True)            # (T, 1) ∝ mean
+        pm_max = jnp.max(pmean, axis=0, keepdims=True)
+        is_max = pmean >= pm_max
+        amax_ref[r, 0] = jnp.min(jnp.where(is_max, tt_ids, 2 ** 30))
+
+        # Broadcast head probs across head_dim lanes: G[t, i] = p[t, i//dh]
+        # via one more tiny MXU matmul with the block-membership matrix.
+        g = jnp.dot(p, memb, preferred_element_type=jnp.float32)  # (T, D)
+        out = jnp.sum(g * v, axis=0, keepdims=True)          # (1, D)
+        o_ref[r, :] = out[0].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
 def decode_attention(q, k_cache, v_cache, valid_lens, n_heads: int,
                      interpret: bool = False):
     """Fused one-token MHA over a (B, T, D) KV cache.  See
-    decode_attention_reference for semantics."""
+    decode_attention_reference for semantics.
+
+    Grid: batch row blocks (BLOCK_B rows per program) so K/V stream
+    HBM->VMEM once with double-buffered DMAs; valid_lens lives whole in
+    SMEM (rank-1 *blocked* SMEM specs are rejected by the Mosaic
+    lowering — observed at batch 128)."""
     b, t, d = k_cache.shape
-    grid = (b,)
+    block_b = 8 if b % 8 == 0 else (4 if b % 4 == 0 else (2 if b % 2 == 0 else 1))
+    grid = (b // block_b,)
     out, amax = pl.pallas_call(
-        functools.partial(_decode_attn_kernel, n_heads=n_heads),
+        functools.partial(_decode_attn_kernel, n_heads=n_heads, block_b=block_b),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B,) valid_lens
+            pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, d), q.dtype),
-            jax.ShapeDtypeStruct((b,), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -129,4 +139,4 @@ def decode_attention(q, k_cache, v_cache, valid_lens, n_heads: int,
             transcendentals=b * t * n_heads,
         ),
     )(valid_lens.astype(jnp.int32), q, k_cache, v_cache)
-    return out, amax
+    return out, amax[:, 0]
