@@ -76,9 +76,10 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=10.0, help="min measure time")
     ap.add_argument("--beam", action="store_true", help="beam decode instead of greedy")
     ap.add_argument("--batches", type=int, default=8, help="timed batches minimum")
-    ap.add_argument("--batch", type=int, default=128,
-                    help="chunks per device batch (128 = measured v5e sweet "
-                         "spot; BASELINE C2's nominal shape is 32)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="chunks per device batch (default: measured v5e "
+                         "sweet spots — 128 greedy, 16 beam; BASELINE C2's "
+                         "nominal shape is 32)")
     ap.add_argument("--f32", action="store_true",
                     help="decode in float32 parity mode (default: bfloat16 "
                          "fast mode — measured identity delta < 1e-4, see "
@@ -149,10 +150,10 @@ def main() -> None:
             config,
             model=dataclasses.replace(config.model, compute_dtype="bfloat16"),
         )
-    if args.batch:
-        config = dataclasses.replace(
-            config, decode=dataclasses.replace(config.decode, batch_chunks=args.batch)
-        )
+    batch = args.batch or (16 if args.beam else 128)
+    config = dataclasses.replace(
+        config, decode=dataclasses.replace(config.decode, batch_chunks=batch)
+    )
     n_params = param_count(params)
 
     dev = jax.devices()[0]

@@ -88,8 +88,14 @@ class DecodeConfig:
 
     mode: str = "greedy"          # "greedy" | "beam"
     beam_size: int = 5
-    length_penalty: str = "none"  # "none" | "wu" | "avg"
+    # Default is per-token average normalization: with label smoothing
+    # (train default 0.1, vocab 8) every token is floored at p ~ eps/7,
+    # so an unnormalized score prefers EOS-at-step-1 (-4.3) over any
+    # correct ~230-token hypothesis (sum ~ -11) and beam decode emits
+    # 1-token junk. "none" reproduces the reference's raw-sum scoring.
+    length_penalty: str = "avg"   # "none" | "wu" | "avg"
     alpha: float = 0.6            # wu penalty exponent
+    min_len: int = 0              # mask EOS before this many tokens (reference: translate min_length)
     n_best: int = 1
     max_len: int = 320            # must equal ModelConfig.max_decode_len
     batch_chunks: int = 32        # chunks per device batch (BASELINE C2)

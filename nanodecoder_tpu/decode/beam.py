@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from nanodecoder_tpu.config import DecodeConfig, ModelConfig
 from nanodecoder_tpu.decode.penalties import length_penalty
-from nanodecoder_tpu.models.model import decode_step, init_decode_state, reorder_decode_state
+from nanodecoder_tpu.models.model import (decode_step, init_decode_state,
+                                          reorder_decode_state_beam)
 from nanodecoder_tpu.vocab import BOS_ID, EOS_ID, PAD_ID
 
 NEG_INF = -1.0e9
@@ -58,8 +59,6 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     mem_t = jnp.repeat(memory, k, axis=0)
     len_t = jnp.repeat(mem_lengths, k, axis=0)
     state0 = init_decode_state(params, cfg, mem_t, len_t)
-
-    batch_idx = jnp.arange(b)[:, None]  # (B, 1)
 
     init = dict(
         state=state0,
@@ -92,50 +91,66 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     def body(c):
         t = c["t"]
         log_probs, _attn, state = decode_step(params, cfg, c["cur"], c["state"])
-        lp = log_probs.reshape(b, k, v)
-
-        # ---- advance: fused add + topk over K*V ----
-        if dcfg.use_pallas:
-            from nanodecoder_tpu.ops.beam_step import beam_topk
-
-            top_scores, top_ids = beam_topk(
-                c["alive_scores"], lp, 2 * k,
-                interpret=jax.default_backend() != "tpu",
+        if dcfg.min_len > 0:
+            # Reference parity (translate -min_length): EOS is not a
+            # legal continuation before min_len tokens.
+            log_probs = jnp.where(
+                (t < dcfg.min_len)
+                & (jnp.arange(v)[None, :] == EOS_ID),
+                NEG_INF, log_probs,
             )
+        lp = log_probs.reshape(b, k, v)
+        pen = length_penalty(t + 1, dcfg.length_penalty, dcfg.alpha)
+
+        # ---- advance: top-2K candidates, new alive set, merged
+        # finished set.  The Pallas kernel fuses all three selections
+        # into one program; lax.top_k's sort-based TPU lowering made
+        # the three separate calls ~0.9 ms/step (measured b=32 K=5).
+        if dcfg.use_pallas:
+            from nanodecoder_tpu.ops.beam_step import beam_advance
+
+            top_ids, new_alive_scores, alive_idx, new_fin_scores, fin_idx = (
+                beam_advance(
+                    c["alive_scores"], lp, c["fin_scores"], pen, k, v, EOS_ID,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            )
+            tok = (top_ids % v).astype(jnp.int32)
+            is_eos = tok == EOS_ID
         else:
             cand = c["alive_scores"][:, :, None] + lp   # (B, K, V)
             flat = cand.reshape(b, k * v)
             top_scores, top_ids = jax.lax.top_k(flat, 2 * k)  # (B, 2K)
+            tok = (top_ids % v).astype(jnp.int32)
+            is_eos = tok == EOS_ID
+            alive_cand = jnp.where(is_eos, NEG_INF, top_scores)
+            new_alive_scores, alive_idx = jax.lax.top_k(alive_cand, k)  # (B, K)
+            new_fin_cand = jnp.where(is_eos, top_scores / pen, NEG_INF)  # (B, 2K)
+            all_scores = jnp.concatenate([c["fin_scores"], new_fin_cand], axis=1)
+            new_fin_scores, fin_idx = jax.lax.top_k(all_scores, k)  # idx in [0,3K)
         origin = top_ids // v
-        tok = (top_ids % v).astype(jnp.int32)
 
         cand_seq = _gather_beams(c["alive_seq"], origin)  # (B, 2K, T)
         cand_seq = jax.lax.dynamic_update_slice_in_dim(
             cand_seq, tok[:, :, None], t, axis=2
         )
-        is_eos = tok == EOS_ID
 
         # ---- new alive: best K non-EOS candidates ----
-        alive_cand = jnp.where(is_eos, NEG_INF, top_scores)
-        new_alive_scores, alive_idx = jax.lax.top_k(alive_cand, k)  # (B, K)
         new_alive_seq = _gather_beams(cand_seq, alive_idx)
         alive_origin = jnp.take_along_axis(origin, alive_idx, axis=1)  # (B, K)
         new_cur = jnp.take_along_axis(tok, alive_idx, axis=1).reshape(-1)
 
         # ---- reorder decoder state rows by beam origin ----
-        flat_origin = (batch_idx * k + alive_origin).reshape(-1)  # (B*K,)
-        state = reorder_decode_state(state, flat_origin)
+        # Block-diagonal one-hot matmul, not a leading-dim gather (TPU
+        # gathers on the cache's row axis are ~3x slower — measured).
+        state = reorder_decode_state_beam(state, alive_origin)
 
         # ---- merge newly finished into the finished set ----
-        pen = length_penalty(t + 1, dcfg.length_penalty, dcfg.alpha)
-        new_fin_cand = jnp.where(is_eos, top_scores / pen, NEG_INF)  # (B, 2K)
-        all_scores = jnp.concatenate([c["fin_scores"], new_fin_cand], axis=1)
         all_seq = jnp.concatenate([c["fin_seq"], cand_seq], axis=1)
         all_len = jnp.concatenate(
             [c["fin_lengths"], jnp.full((b, 2 * k), t + 1, jnp.int32)], axis=1
         )
         all_flags = jnp.concatenate([c["fin_flags"], is_eos], axis=1)
-        new_fin_scores, fin_idx = jax.lax.top_k(all_scores, k)
         return dict(
             state=state,
             cur=new_cur,

@@ -49,7 +49,7 @@ class StreamingBasecaller:
         # see Translator.__init__ for the measured cost of capturing.
         def greedy_program(params, signal, lengths):
             memory, mem_len = encode(params, mcfg, signal, lengths)
-            r = greedy_decode(params, mcfg, memory, mem_len)
+            r = greedy_decode(params, mcfg, memory, mem_len, min_len=dcfg.min_len)
             ds = mcfg.time_downsample
             return r.tokens, r.lengths, r.token_log_probs, r.attn_pos * ds + ds // 2
 

@@ -30,11 +30,14 @@ class GreedyResult(NamedTuple):
     #                          argmax encoder position (alignment)
 
 
-def greedy_decode(params, cfg: ModelConfig, memory, mem_lengths) -> GreedyResult:
+def greedy_decode(params, cfg: ModelConfig, memory, mem_lengths,
+                  min_len: int = 0) -> GreedyResult:
     """Decode every row of a memory-bank batch greedily.
 
     memory: (B, S, D) encoder output; mem_lengths: (B,).
-    The loop exits early once every row has emitted EOS.
+    The loop exits early once every row has emitted EOS.  min_len
+    masks EOS before that many tokens (reference: translate
+    -min_length on GreedySearch).
     """
     b = memory.shape[0]
     tmax = cfg.max_decode_len
@@ -56,6 +59,12 @@ def greedy_decode(params, cfg: ModelConfig, memory, mem_lengths) -> GreedyResult
 
     def body(c):
         log_probs, attn_pos, state = decode_step(params, cfg, c["cur"], c["state"])
+        if min_len > 0:
+            log_probs = jnp.where(
+                (c["t"] < min_len)
+                & (jnp.arange(log_probs.shape[-1])[None, :] == EOS_ID),
+                -1e9, log_probs,
+            )
         nxt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
         lp = jnp.take_along_axis(log_probs, nxt[:, None], axis=-1)[:, 0]
         # Finished rows keep emitting PAD with zero score.

@@ -84,7 +84,8 @@ class Translator:
     def _greedy_program(self, params, signal, lengths):
         cfg = self.config.model
         memory, mem_lengths = encode(params, cfg, signal, lengths)
-        res = greedy_decode(params, cfg, memory, mem_lengths)
+        res = greedy_decode(params, cfg, memory, mem_lengths,
+                            min_len=self.config.decode.min_len)
         # Encoder position -> sample position (center of the conv window).
         ds = cfg.time_downsample
         sample_pos = res.attn_pos * ds + ds // 2

@@ -157,3 +157,65 @@ def test_decode_attention_argmax_output(rng_np):
     want = p.mean(1).argmax(-1)
     np.testing.assert_array_equal(np.asarray(amax), want)
     assert (np.asarray(amax) < np.asarray(valid)).all()
+
+
+@pytest.mark.parametrize("b,k,v", [(3, 5, 8), (2, 3, 8), (1, 1, 8)])
+def test_beam_advance_matches_topk_path(b, k, v, rng_np):
+    """The fused advance kernel must reproduce the lax.top_k-based
+    selection exactly: top-2K ids, alive set, merged finished set."""
+    from nanodecoder_tpu.ops.beam_step import beam_advance
+
+    eos = 2
+    alive = jnp.asarray(rng_np.normal(size=(b, k)).astype(np.float32))
+    lp = jnp.asarray(rng_np.normal(size=(b, k, v)).astype(np.float32))
+    fin = jnp.asarray(rng_np.normal(size=(b, k)).astype(np.float32))
+    pen = jnp.asarray(2.5, jnp.float32)
+
+    top_ids, a_s, a_i, f_s, f_i = beam_advance(alive, lp, fin, pen, k, v, eos,
+                                               interpret=True)
+
+    flat = (alive[:, :, None] + lp).reshape(b, k * v)
+    ref_ts, ref_ti = jax.lax.top_k(flat, 2 * k)
+    tok = ref_ti % v
+    is_eos = tok == eos
+    ref_as, ref_ai = jax.lax.top_k(jnp.where(is_eos, -1e9, ref_ts), k)
+    allf = jnp.concatenate([fin, jnp.where(is_eos, ref_ts / pen, -1e9)], axis=1)
+    ref_fs, ref_fi = jax.lax.top_k(allf, k)
+
+    np.testing.assert_array_equal(np.asarray(top_ids), np.asarray(ref_ti))
+    np.testing.assert_allclose(np.asarray(a_s), np.asarray(ref_as), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a_i), np.asarray(ref_ai))
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(ref_fs), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(f_i), np.asarray(ref_fi))
+
+
+def test_reorder_decode_state_beam_matches_flat_gather(rng_np):
+    """One-hot matmul beam reorder == flat leading-dim gather."""
+    from nanodecoder_tpu.config import tiny_test_config
+    from nanodecoder_tpu.models.model import (encode, init_decode_state,
+                                              init_model, reorder_decode_state,
+                                              reorder_decode_state_beam)
+
+    cfg = tiny_test_config().model
+    params = init_model(jax.random.PRNGKey(5), cfg)
+    bsz, k = 2, 3
+    signal = jnp.asarray(rng_np.normal(size=(bsz * k, 256)).astype(np.float32))
+    lengths = jnp.full((bsz * k,), 256, jnp.int32)
+    memory, mem_len = encode(params, cfg, signal, lengths)
+    state = init_decode_state(params, cfg, memory, mem_len)
+    # write something nonzero into the self caches
+    for c in state["layers"]:
+        c["self_k"] = jnp.asarray(
+            rng_np.normal(size=c["self_k"].shape).astype(np.float32))
+        c["self_v"] = jnp.asarray(
+            rng_np.normal(size=c["self_v"].shape).astype(np.float32))
+    origin = jnp.asarray(rng_np.integers(0, k, size=(bsz, k)).astype(np.int32))
+    flat = (jnp.arange(bsz)[:, None] * k + origin).reshape(-1)
+
+    got = reorder_decode_state_beam(state, origin)
+    ref = reorder_decode_state(state, flat)
+    for gc, rc in zip(got["layers"], ref["layers"]):
+        np.testing.assert_array_equal(np.asarray(gc["self_k"]), np.asarray(rc["self_k"]))
+        np.testing.assert_array_equal(np.asarray(gc["self_v"]), np.asarray(rc["self_v"]))
+        # cross K/V must be untouched (beam-invariant)
+        np.testing.assert_array_equal(np.asarray(gc["cross_k"]), np.asarray(rc["cross_k"]))
