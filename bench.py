@@ -76,6 +76,9 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=10.0, help="min measure time")
     ap.add_argument("--beam", action="store_true", help="beam decode instead of greedy")
     ap.add_argument("--batches", type=int, default=8, help="timed batches minimum")
+    ap.add_argument("--depth", type=int, default=2,
+                    help="dispatch-ahead depth (1 = block every batch, "
+                         "i.e. per-batch latency mode)")
     ap.add_argument("--batch", type=int, default=0,
                     help="chunks per device batch (default: measured v5e "
                          "sweet spots — 128 greedy, 16 beam; BASELINE C2's "
@@ -194,17 +197,29 @@ def main() -> None:
     print(f"# warmup/compile: {compile_s:.1f}s, mean decode len: {mean_len:.0f} tokens",
           file=sys.stderr)
 
-    # Steady-state measurement — block every batch so async dispatch
-    # can't queue unbounded work (honest per-batch latency).
+    # Steady-state measurement with bounded dispatch-ahead (depth 2 —
+    # the same in-flight pattern the streaming engine uses in
+    # production): block on batch i-2 while dispatching batch i, so the
+    # device never idles on host/relay dispatch latency but the queue
+    # stays bounded.  --depth 1 restores strict per-batch blocking
+    # (per-batch latency mode).
+    from collections import deque
+
+    inflight: deque = deque()
     n_batches = 0
     t0 = time.perf_counter()
     while True:
         out = translator._decode_jit(jc, jl)
-        jax.block_until_ready(out)
+        inflight.append(out)
+        if len(inflight) >= args.depth:
+            jax.block_until_ready(inflight.popleft())
         n_batches += 1
         elapsed = time.perf_counter() - t0
         if n_batches >= args.batches and elapsed >= args.seconds:
             break
+    while inflight:
+        jax.block_until_ready(inflight.popleft())
+    elapsed = time.perf_counter() - t0
 
     samples = n_batches * bsz * clen
     samples_per_sec = samples / elapsed

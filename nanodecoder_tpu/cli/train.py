@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import signal
 import sys
 
 
@@ -97,7 +98,17 @@ def main(argv=None) -> int:
             jax.tree_util.tree_map(lambda x: jax.device_put(x, spec), b) for b in base
         )
 
-    state = trainer.train(train_iter, valid_iter_fn=valid_fn)
+    # SIGTERM -> KeyboardInterrupt so a terminated run still writes its
+    # final checkpoint and shuts the TPU client down cleanly (an abrupt
+    # exit leaves the device grant leased for ~25-30 min on this
+    # environment's tunneled TPU — docs/PERF.md).
+    signal.signal(signal.SIGTERM, lambda *_: (_ for _ in ()).throw(KeyboardInterrupt()))
+
+    try:
+        state = trainer.train(train_iter, valid_iter_fn=valid_fn)
+    except KeyboardInterrupt:
+        log.info("interrupted — saving checkpoint at step %d", int(trainer.state.step))
+        state = trainer.state
     ckpt.save(int(state.step), state, wait=True)
     ckpt.close()
     report.close()
