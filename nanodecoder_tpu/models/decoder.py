@@ -155,10 +155,12 @@ def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
         v1 = nn._split_heads(nn.dense(layer["self_attn"]["v"], h), cfg.dec_heads)
         self_k = jax.lax.dynamic_update_slice_in_dim(cache["self_k"], k1, step, axis=1)
         self_v = jax.lax.dynamic_update_slice_in_dim(cache["self_v"], v1, step, axis=1)
-        # Self-attention always takes the XLA path: the self caches are
-        # while_loop carries that XLA keeps VMEM-resident, so the einsum
-        # path costs ~121 us/step vs ~378 us for a Pallas kernel that
-        # must round-trip them through HBM (measured, v5e b=128).
+        # Self-attention always takes the XLA path: XLA streams the
+        # loop-carried caches at the HBM roofline (~121 us/step at
+        # b=128 — 126 MB of K/V per step, right at spec bandwidth)
+        # while the Pallas kernel measured ~378 us (extra copies in/out
+        # of the loop carry).  Pallas wins only for cross-attention,
+        # where XLA's 1-token einsum lowering is ~5x off the roofline.
         a, _, _ = _attn_step(layer["self_attn"], cfg.dec_heads, h, self_k, self_v,
                              self_mask, self_valid, False)
         y1 = y1 + a
