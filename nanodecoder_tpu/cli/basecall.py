@@ -25,8 +25,17 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ckpt", required=True, help="checkpoint directory (orbax) or .npz params")
     ap.add_argument("--format", choices=["fastq", "fasta"], default="fastq")
     ap.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
-    ap.add_argument("--length-penalty", choices=["none", "wu", "avg"], default="none")
+    ap.add_argument("--length-penalty", choices=["none", "wu", "avg"], default="avg",
+                    help="beam score normalization (avg default: raw-sum "
+                         "scoring prefers degenerate early-EOS hypotheses "
+                         "under label smoothing — docs/PERF.md)")
     ap.add_argument("--alpha", type=float, default=0.6)
+    ap.add_argument("--coverage-penalty", choices=["none", "wu", "summary"],
+                    default="none", help="beam coverage penalty (reference "
+                    "PenaltyBuilder)")
+    ap.add_argument("--beta", type=float, default=0.0, help="coverage weight")
+    ap.add_argument("--min-len", type=int, default=0,
+                    help="mask EOS before this many tokens")
     ap.add_argument("--batch-chunks", type=int, default=0, help="override batch size")
     ap.add_argument("--stitch", choices=["trim", "align", "attn"], default="trim",
                     help="chunk merge rule: proportional trim, overlap "
@@ -72,7 +81,10 @@ def main(argv=None) -> int:
     overrides = {}
     if args.beam > 0:
         overrides.update(mode="beam", beam_size=args.beam,
-                         length_penalty=args.length_penalty, alpha=args.alpha)
+                         length_penalty=args.length_penalty, alpha=args.alpha,
+                         coverage_penalty=args.coverage_penalty, beta=args.beta)
+    if args.min_len > 0:
+        overrides.update(min_len=args.min_len)
     if args.batch_chunks > 0:
         overrides.update(batch_chunks=args.batch_chunks)
     if overrides:

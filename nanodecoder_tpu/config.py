@@ -96,6 +96,8 @@ class DecodeConfig:
     length_penalty: str = "avg"   # "none" | "wu" | "avg"
     alpha: float = 0.6            # wu penalty exponent
     min_len: int = 0              # mask EOS before this many tokens (reference: translate min_length)
+    coverage_penalty: str = "none"  # "none" | "wu" | "summary" (reference: PenaltyBuilder)
+    beta: float = 0.0             # coverage penalty weight
     n_best: int = 1
     max_len: int = 320            # must equal ModelConfig.max_decode_len
     batch_chunks: int = 32        # chunks per device batch (BASELINE C2)

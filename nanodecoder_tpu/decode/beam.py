@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from nanodecoder_tpu.config import DecodeConfig, ModelConfig
-from nanodecoder_tpu.decode.penalties import length_penalty
+from nanodecoder_tpu.decode.penalties import coverage_penalty, length_penalty
 from nanodecoder_tpu.models.model import (decode_step, init_decode_state,
                                           reorder_decode_state_beam)
 from nanodecoder_tpu.vocab import BOS_ID, EOS_ID, PAD_ID
@@ -59,6 +59,15 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     mem_t = jnp.repeat(memory, k, axis=0)
     len_t = jnp.repeat(mem_lengths, k, axis=0)
     state0 = init_decode_state(params, cfg, mem_t, len_t)
+    s = memory.shape[1]
+
+    # Coverage penalty needs per-hypothesis accumulated cross-attention
+    # mass; the Pallas attention kernel never materializes the
+    # probabilities, so coverage mode runs the XLA attention path and
+    # the lax.top_k advance (reference: PenaltyBuilder coverage_wu /
+    # coverage_summary applied at hypothesis finalization).
+    need_cov = dcfg.coverage_penalty != "none" and dcfg.beta != 0.0
+    use_fused = dcfg.use_pallas and not need_cov
 
     init = dict(
         state=state0,
@@ -73,6 +82,7 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
         fin_scores=jnp.full((b, k), NEG_INF, jnp.float32),
         fin_lengths=jnp.zeros((b, k), jnp.int32),
         fin_flags=jnp.zeros((b, k), jnp.bool_),
+        cov=jnp.zeros((b, k, s if need_cov else 1), jnp.float32),
         t=jnp.zeros((), jnp.int32),
     )
 
@@ -90,7 +100,13 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
 
     def body(c):
         t = c["t"]
-        log_probs, _attn, state = decode_step(params, cfg, c["cur"], c["state"])
+        if need_cov:
+            log_probs, _attn, attn_probs, state = decode_step(
+                params, cfg, c["cur"], c["state"], return_attn=True
+            )
+        else:
+            log_probs, _attn, state = decode_step(params, cfg, c["cur"], c["state"])
+            attn_probs = None
         if dcfg.min_len > 0:
             # Reference parity (translate -min_length): EOS is not a
             # legal continuation before min_len tokens.
@@ -106,7 +122,7 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
         # finished set.  The Pallas kernel fuses all three selections
         # into one program; lax.top_k's sort-based TPU lowering made
         # the three separate calls ~0.9 ms/step (measured b=32 K=5).
-        if dcfg.use_pallas:
+        if use_fused:
             from nanodecoder_tpu.ops.beam_step import beam_advance
 
             top_ids, new_alive_scores, alive_idx, new_fin_scores, fin_idx = (
@@ -117,18 +133,32 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
             )
             tok = (top_ids % v).astype(jnp.int32)
             is_eos = tok == EOS_ID
+            origin = top_ids // v
+            cov_cand = c["cov"][:, :1]  # unused placeholder
+            cov_pen_cand = jnp.zeros((b, 2 * k), jnp.float32)
         else:
             cand = c["alive_scores"][:, :, None] + lp   # (B, K, V)
             flat = cand.reshape(b, k * v)
             top_scores, top_ids = jax.lax.top_k(flat, 2 * k)  # (B, 2K)
             tok = (top_ids % v).astype(jnp.int32)
             is_eos = tok == EOS_ID
+            origin = top_ids // v
             alive_cand = jnp.where(is_eos, NEG_INF, top_scores)
             new_alive_scores, alive_idx = jax.lax.top_k(alive_cand, k)  # (B, K)
-            new_fin_cand = jnp.where(is_eos, top_scores / pen, NEG_INF)  # (B, 2K)
+            if need_cov:
+                # Candidate coverage = origin's accumulated mass + this
+                # step's attention row of the origin beam.
+                cov_step = c["cov"] + attn_probs.reshape(b, k, -1)
+                cov_cand = _gather_beams(cov_step, origin)      # (B, 2K, S)
+                cov_pen_cand = coverage_penalty(
+                    cov_cand, dcfg.coverage_penalty, dcfg.beta)  # (B, 2K)
+            else:
+                cov_cand = c["cov"][:, :1]
+                cov_pen_cand = jnp.zeros((b, 2 * k), jnp.float32)
+            new_fin_cand = jnp.where(
+                is_eos, top_scores / pen - cov_pen_cand, NEG_INF)  # (B, 2K)
             all_scores = jnp.concatenate([c["fin_scores"], new_fin_cand], axis=1)
             new_fin_scores, fin_idx = jax.lax.top_k(all_scores, k)  # idx in [0,3K)
-        origin = top_ids // v
 
         cand_seq = _gather_beams(c["alive_seq"], origin)  # (B, 2K, T)
         cand_seq = jax.lax.dynamic_update_slice_in_dim(
@@ -139,6 +169,7 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
         new_alive_seq = _gather_beams(cand_seq, alive_idx)
         alive_origin = jnp.take_along_axis(origin, alive_idx, axis=1)  # (B, K)
         new_cur = jnp.take_along_axis(tok, alive_idx, axis=1).reshape(-1)
+        new_cov = _gather_beams(cov_cand, alive_idx) if need_cov else c["cov"]
 
         # ---- reorder decoder state rows by beam origin ----
         # Block-diagonal one-hot matmul, not a leading-dim gather (TPU
@@ -160,6 +191,7 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
             fin_scores=new_fin_scores,
             fin_lengths=jnp.take_along_axis(all_len, fin_idx, axis=1),
             fin_flags=jnp.take_along_axis(all_flags, fin_idx, axis=1),
+            cov=new_cov,
             t=t + 1,
         )
 
@@ -170,6 +202,9 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     # EOS is emitted within max_len.
     none_finished = ~jnp.any(out["fin_flags"], axis=1)  # (B,)
     alive_pen_scores = out["alive_scores"] / max_pen
+    if need_cov:
+        alive_pen_scores = alive_pen_scores - coverage_penalty(
+            out["cov"], dcfg.coverage_penalty, dcfg.beta)
     sel = none_finished[:, None]
     fin_seq = jnp.where(sel[:, :, None], out["alive_seq"], out["fin_seq"])
     fin_scores = jnp.where(sel, alive_pen_scores, out["fin_scores"])

@@ -110,25 +110,38 @@ def init_decode_state(params, cfg: ModelConfig, memory, mem_lengths):
     return dec.init_rnn_state(cfg, memory, mem_lengths, batch, dtype)
 
 
-def decode_step(params, cfg: ModelConfig, tokens, state):
+def decode_step(params, cfg: ModelConfig, tokens, state, return_attn: bool = False):
     """One decode step.  tokens: (B,) int32 current input tokens.
     Returns (log_probs (B, V) f32, attn_pos (B,) i32 — the head-mean
     cross-attention argmax over encoder positions (the token's aligned
-    source position, consumed by the attention stitcher), new_state)."""
+    source position, consumed by the attention stitcher), new_state).
+
+    With return_attn=True, returns (log_probs, attn_pos, attn_probs
+    (B, S) f32 head-mean cross-attention of the last layer, new_state)
+    — required by the coverage penalty, which accumulates per-source
+    attention mass.  The Pallas attention path never materializes the
+    probabilities, so return_attn forces the XLA attention path."""
     y1 = _embed_tokens(params, cfg, tokens[:, None], positions=state["step"])
     if cfg.decoder_type == "transformer":
+        import dataclasses as _dc
+
+        mcfg = _dc.replace(cfg, use_pallas=False) if return_attn else cfg
         hidden, (attn, amax), new_state = dec.transformer_decoder_step(
-            params["decoder"], cfg, y1, state
+            params["decoder"], mcfg, y1, state
         )
-        if amax is not None:  # Pallas path emits argmax directly
-            attn_pos = amax
-        else:
+        if attn is not None:
             attn_mean = jnp.mean(attn[:, :, 0, :].astype(jnp.float32), axis=1)
             attn_pos = jnp.argmax(attn_mean, axis=-1).astype(jnp.int32)
+        else:  # Pallas path emits argmax directly
+            attn_mean = None
+            attn_pos = amax
     else:
         hidden, attn, new_state = dec.rnn_decoder_step(params["decoder"], cfg, y1, state)
-        attn_pos = jnp.argmax(attn[:, 0, 0, :].astype(jnp.float32), axis=-1).astype(jnp.int32)
+        attn_mean = attn[:, 0, 0, :].astype(jnp.float32)
+        attn_pos = jnp.argmax(attn_mean, axis=-1).astype(jnp.int32)
     log_probs = generator_log_probs(params, hidden[:, 0, :])
+    if return_attn:
+        return log_probs, attn_pos, attn_mean, new_state
     return log_probs, attn_pos, new_state
 
 

@@ -61,48 +61,69 @@ def oracle_greedy(params, cfg, memory, mem_len, tmax):
 
 def oracle_beam(params, cfg, dcfg, memory, mem_len):
     """Slow per-chunk beam search with the alive/finished semantics:
-    2K candidates, alive excludes EOS, finished keeps top-K penalized."""
+    2K candidates, alive excludes EOS, finished keeps top-K penalized
+    (minus the coverage penalty when enabled)."""
+    from nanodecoder_tpu.decode.penalties import coverage_penalty
+
     b = memory.shape[0]
     k, v, tmax = dcfg.beam_size, cfg.vocab_size, cfg.max_decode_len
+    need_cov = dcfg.coverage_penalty != "none" and dcfg.beta != 0.0
     results = []
     for bi in range(b):
         mem_i = jnp.repeat(memory[bi : bi + 1], k, axis=0)
         len_i = jnp.repeat(mem_len[bi : bi + 1], k, axis=0)
         state = init_decode_state(params, cfg, mem_i, len_i)
+        s = memory.shape[1]
         alive_seq = np.full((k, tmax), PAD_ID, np.int32)
         alive_scores = np.array([0.0] + [-1e9] * (k - 1), np.float32)
+        alive_cov = np.zeros((k, s), np.float32)
         fin = []  # list of (score, seq, length)
         cur = np.full((k,), BOS_ID, np.int32)
         max_pen = float(length_penalty(tmax, dcfg.length_penalty, dcfg.alpha))
         for t in range(tmax):
-            worst_fin = min([s for s, _, _ in fin], default=-1e9) if len(fin) >= k else -1e9
+            worst_fin = min([s_ for s_, _, _ in fin], default=-1e9) if len(fin) >= k else -1e9
             if len(fin) >= k and worst_fin >= alive_scores[0] / max_pen:
                 break
-            lp, _a, state = decode_step(params, cfg, jnp.asarray(cur), state)
+            if need_cov:
+                lp, _a, attn, state = decode_step(params, cfg, jnp.asarray(cur),
+                                                  state, return_attn=True)
+                attn = np.asarray(attn)
+            else:
+                lp, _a, state = decode_step(params, cfg, jnp.asarray(cur), state)
+                attn = np.zeros((k, s), np.float32)
             lp = np.asarray(lp)  # (k, v)
             cand = alive_scores[:, None] + lp
             flat = cand.reshape(-1)
             order = np.argsort(-flat, kind="stable")[: 2 * k]
             pen = float(length_penalty(t + 1, dcfg.length_penalty, dcfg.alpha))
+            cov_step = alive_cov + attn
             new_alive = []
             for idx in order:
                 o, tok = divmod(int(idx), v)
                 seq = alive_seq[o].copy()
                 seq[t] = tok
                 if tok == EOS_ID:
-                    fin.append((float(flat[idx]) / pen, seq, t + 1))
+                    cpen = float(np.asarray(coverage_penalty(
+                        jnp.asarray(cov_step[o]), dcfg.coverage_penalty,
+                        dcfg.beta))) if need_cov else 0.0
+                    fin.append((float(flat[idx]) / pen - cpen, seq, t + 1))
                 elif len(new_alive) < k:
                     new_alive.append((float(flat[idx]), seq, o, tok))
             fin = sorted(fin, key=lambda x: -x[0])[:k]
-            alive_scores = np.array([s for s, _, _, _ in new_alive], np.float32)
-            alive_seq = np.stack([s for _, s, _, _ in new_alive])
+            alive_scores = np.array([s_ for s_, _, _, _ in new_alive], np.float32)
+            alive_seq = np.stack([s_ for _, s_, _, _ in new_alive])
             origins = np.array([o for _, _, o, _ in new_alive])
+            alive_cov = cov_step[origins]
             cur = np.array([tk for _, _, _, tk in new_alive], np.int32)
             state = jax.tree_util.tree_map(
                 lambda x: x if x.ndim == 0 else x[jnp.asarray(origins)], state
             )
         if not fin:
-            fin = [(float(alive_scores[j]) / max_pen, alive_seq[j], tmax) for j in range(k)]
+            covp = (np.asarray(coverage_penalty(jnp.asarray(alive_cov),
+                                                dcfg.coverage_penalty, dcfg.beta))
+                    if need_cov else np.zeros((k,), np.float32))
+            fin = [(float(alive_scores[j]) / max_pen - float(covp[j]),
+                    alive_seq[j], tmax) for j in range(k)]
             fin = sorted(fin, key=lambda x: -x[0])[:k]
         results.append(fin)
     return results
@@ -120,12 +141,19 @@ def test_greedy_matches_oracle(setup):
     np.testing.assert_allclose(np.asarray(res.token_log_probs), lps_o, atol=1e-5)
 
 
-@pytest.mark.parametrize("penalty,alpha", [("none", 0.0), ("wu", 0.6), ("avg", 0.0)])
-def test_beam_matches_oracle(setup, penalty, alpha):
+@pytest.mark.parametrize("penalty,alpha,cov,beta", [
+    ("none", 0.0, "none", 0.0),
+    ("wu", 0.6, "none", 0.0),
+    ("avg", 0.0, "none", 0.0),
+    ("avg", 0.0, "wu", 0.2),
+    ("none", 0.0, "summary", 0.1),
+])
+def test_beam_matches_oracle(setup, penalty, alpha, cov, beta):
     cfg, params, memory, mem_len = setup
     dcfg = dataclasses.replace(
         tiny_test_config().decode, mode="beam", beam_size=3,
         length_penalty=penalty, alpha=alpha, max_len=cfg.max_decode_len,
+        coverage_penalty=cov, beta=beta,
     )
     res = beam_decode(params, cfg, dcfg, memory, mem_len)
     oracle = oracle_beam(params, cfg, dcfg, memory, mem_len)
