@@ -99,19 +99,32 @@ class AsyncChunkPipeline:
             out.append(ReadChunks(read=read, chunks=cb))
         return out
 
+    def _put(self, item) -> bool:
+        """Blocking put that aborts when stop() is requested — a plain
+        put() can deadlock: the consumer may stop and drain ONCE while
+        worker results are still arriving, after which the producer
+        would block forever on the refilled bounded queue (caught by
+        the shutdown stress test)."""
+        while not self._stop.is_set():
+            try:
+                self.read_queue.put(item, timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _producer(self) -> None:
         try:
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for result in pool.map(self._process_file, self.files):
                     for rc in result:
-                        if self._stop.is_set():
+                        if not self._put(rc):
                             return
-                        self.read_queue.put(rc)
         except Exception as e:  # surface ingest errors to the consumer
             log.error("ingest failed: %s", e)
-            self.read_queue.put(e)
+            self._put(e)
         finally:
-            self.read_queue.put(_SENTINEL)
+            self._put(_SENTINEL)
 
     def start(self) -> "AsyncChunkPipeline":
         self._producer_thread = threading.Thread(target=self._producer, daemon=True)

@@ -145,3 +145,42 @@ class TestTranslator:
         bc = tr.basecall_read(RawRead("x", sig, "mem"), stitch_method="attn")
         assert bc.read_id == "x"
         assert bc.n_chunks >= 2
+
+
+class TestPipelineStress:
+    def test_many_files_tiny_queue_exactly_once(self, tmp_path, rng_np):
+        """Stress the bounded queue: 24 files x 3 reads through a
+        queue of depth 2 with 6 workers — every read delivered exactly
+        once, in a deterministic (file-order) stream."""
+        cfg = tiny_test_config()
+        expect = []
+        for fi in range(24):
+            reads = {f"s{fi}_{ri}": rng_np.normal(size=(700,)) * 50
+                     for ri in range(3)}
+            _write_multi_fast5(str(tmp_path / f"f{fi}.fast5"), reads)
+            expect.extend(sorted(reads))
+        files = sorted(str(tmp_path / f"f{fi}.fast5") for fi in range(24))
+        pipe = AsyncChunkPipeline(files, cfg.signal, batch_chunks=4,
+                                  num_workers=6, queue_depth=2)
+        got = [rc.read.read_id for rc in pipe.read_stream()]
+        assert sorted(got) == sorted(expect)
+        assert len(got) == len(set(got)) == 72
+
+    def test_early_stop_under_pressure_shuts_down(self, tmp_path, rng_np):
+        """Consumer abandons the stream mid-way with the producer
+        blocked on a full queue — stop() must unblock it and the
+        producer thread must exit."""
+        cfg = tiny_test_config()
+        for fi in range(10):
+            reads = {f"t{fi}_{ri}": rng_np.normal(size=(900,)) * 50
+                     for ri in range(4)}
+            _write_multi_fast5(str(tmp_path / f"g{fi}.fast5"), reads)
+        files = sorted(str(tmp_path / f"g{fi}.fast5") for fi in range(10))
+        pipe = AsyncChunkPipeline(files, cfg.signal, batch_chunks=4,
+                                  num_workers=4, queue_depth=1)
+        stream = pipe.read_stream()
+        for _ in range(3):
+            next(stream)
+        pipe.stop()
+        pipe._producer_thread.join(timeout=10.0)
+        assert not pipe._producer_thread.is_alive()
