@@ -46,6 +46,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--cpu", action="store_true", help="run on CPU")
     ap.add_argument("--parity", action="store_true",
                     help="f32 parity mode (SURVEY.md R2) instead of bf16")
+    ap.add_argument("--stage-times", action="store_true",
+                    help="log per-stage wall time (ingest-wait/dispatch/"
+                         "collect/stitch+write)")
     return ap
 
 
@@ -114,15 +117,22 @@ def main(argv=None) -> int:
 
     plan = make_mesh_plan(config.mesh) if jax.device_count() > 1 else None
     caller = StreamingBasecaller(params, config, mesh_plan=plan)
+    from nanodecoder_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer() if args.stage_times else None
     with open(out_path, "w") as out, open(done_path, "a") as done_log:
         meter = caller.run(
             files, out, stitch_method=args.stitch, skip_read_ids=skip,
             num_workers=args.workers, write_format=args.format,
-            done_log=done_log,
+            done_log=done_log, stage_timer=timer,
         )
     barrier("basecall-done")
     if pcount > 1:
         merge_host_shards(args.output)
+    if timer is not None:
+        for name, st in timer.summary().items():
+            log.info("stage %-12s total %7.3fs  mean %6.2fms  x%d",
+                     name, st["total_sec"], st["mean_sec"] * 1e3, st["count"])
     ReportManager().report_inference(meter.rates(), {"n_hosts": pcount})
     return 0
 

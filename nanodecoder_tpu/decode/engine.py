@@ -86,13 +86,20 @@ class StreamingBasecaller:
         meter: ThroughputMeter | None = None,
         write_format: str = "fastq",
         done_log=None,
+        stage_timer=None,
     ) -> ThroughputMeter:
         """Basecall `files`, writing FASTQ/FASTA records to text file `out`.
 
         `done_log`: optional file handle; completed read ids are appended
         one per line (resume support — pass previous contents as
-        `skip_read_ids` on restart)."""
+        `skip_read_ids` on restart).
+        `stage_timer`: optional utils.StageTimer — accumulates per-stage
+        wall time (ingest-wait / dispatch / collect / stitch+write), the
+        SURVEY §5.1 observability the reference lacks."""
         from nanodecoder_tpu.io.fastx import write_fasta, write_fastq
+        from nanodecoder_tpu.utils.profiling import StageTimer
+
+        timer = stage_timer if stage_timer is not None else StageTimer()
 
         cfg = self.config
         skip = set(skip_read_ids)
@@ -142,20 +149,28 @@ class StreamingBasecaller:
 
         def drain_one() -> None:
             dev_out, packed = in_flight.popleft()
-            tokens, tlens, lps, pos = (np.asarray(x) for x in dev_out)
-            for row, (ridx, ci) in enumerate(packed.sources):
-                per_read[ridx][ci] = (tokens[row], int(tlens[row]), lps[row], pos[row])
-                if len(per_read[ridx]) == pipe.reads[ridx].chunks.n_chunks:
-                    finish_read(ridx)
+            with timer.stage("collect"):
+                tokens, tlens, lps, pos = (np.asarray(x) for x in dev_out)
+            with timer.stage("stitch+write"):
+                for row, (ridx, ci) in enumerate(packed.sources):
+                    per_read[ridx][ci] = (tokens[row], int(tlens[row]), lps[row], pos[row])
+                    if len(per_read[ridx]) == pipe.reads[ridx].chunks.n_chunks:
+                        finish_read(ridx)
 
         try:
-            for packed in pipe.batches():
-                batch = self._place(
-                    {"signal": jnp.asarray(packed.chunks),
-                     "lengths": jnp.asarray(packed.lengths)}
-                )
-                dev_out = self._decode(batch["signal"], batch["lengths"])
-                in_flight.append((dev_out, packed))
+            batches = pipe.batches()
+            while True:
+                with timer.stage("ingest-wait"):
+                    packed = next(batches, None)
+                if packed is None:
+                    break
+                with timer.stage("dispatch"):
+                    batch = self._place(
+                        {"signal": jnp.asarray(packed.chunks),
+                         "lengths": jnp.asarray(packed.lengths)}
+                    )
+                    dev_out = self._decode(batch["signal"], batch["lengths"])
+                    in_flight.append((dev_out, packed))
                 if len(in_flight) > self.depth:
                     drain_one()
             while in_flight:
