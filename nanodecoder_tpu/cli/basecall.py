@@ -49,6 +49,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--stage-times", action="store_true",
                     help="log per-stage wall time (ingest-wait/dispatch/"
                          "collect/stitch+write)")
+    import argparse as _ap
+
+    ap.add_argument("--pallas", action=_ap.BooleanOptionalAction, default=None,
+                    help="fused Pallas decode kernels (default: on when "
+                         "running on TPU, off elsewhere — interpret mode "
+                         "on CPU is for tests, not speed)")
     return ap
 
 
@@ -94,10 +100,17 @@ def main(argv=None) -> int:
         config = dataclasses.replace(
             config, decode=dataclasses.replace(config.decode, **overrides)
         )
-    if args.parity:
-        config = dataclasses.replace(
-            config, model=dataclasses.replace(config.model, compute_dtype="float32")
-        )
+    config = dataclasses.replace(
+        config, model=dataclasses.replace(
+            config.model,
+            compute_dtype="float32" if args.parity else "bfloat16")
+    )
+    use_pallas = (jax.default_backend() == "tpu") if args.pallas is None else args.pallas
+    config = dataclasses.replace(
+        config,
+        model=dataclasses.replace(config.model, use_pallas=use_pallas),
+        decode=dataclasses.replace(config.decode, use_pallas=use_pallas),
+    )
 
     files = list_signal_files(args.input)
     if not files:

@@ -62,8 +62,9 @@ def build_argparser() -> argparse.ArgumentParser:
                          "quantifies the fast-mode accuracy delta (SURVEY §7 R2)")
     ap.add_argument("--batch", type=int, default=0,
                     help="override decode batch_chunks")
-    ap.add_argument("--pallas", action="store_true",
-                    help="use the fused Pallas decode-attention kernel")
+    ap.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=None,
+                    help="fused Pallas decode kernels (default: on when "
+                         "running on TPU)")
     ap.add_argument("--json", action="store_true", help="emit one JSON line")
     return ap
 
@@ -102,12 +103,12 @@ def main(argv=None) -> int:
                 config, decode=dataclasses.replace(config.decode,
                                                    batch_chunks=args.batch)
             )
-        if args.pallas:
-            config = dataclasses.replace(
-                config,
-                model=dataclasses.replace(config.model, use_pallas=True),
-                decode=dataclasses.replace(config.decode, use_pallas=True),
-            )
+        use_pallas = (jax.default_backend() == "tpu") if args.pallas is None else args.pallas
+        config = dataclasses.replace(
+            config,
+            model=dataclasses.replace(config.model, use_pallas=use_pallas),
+            decode=dataclasses.replace(config.decode, use_pallas=use_pallas),
+        )
         if args.beam > 0:
             config = dataclasses.replace(
                 config, decode=dataclasses.replace(config.decode, mode="beam",
