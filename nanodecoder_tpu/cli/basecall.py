@@ -36,6 +36,17 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--beta", type=float, default=0.0, help="coverage weight")
     ap.add_argument("--min-len", type=int, default=0,
                     help="mask EOS before this many tokens")
+    ap.add_argument("--sample", action="store_true",
+                    help="random-sampling decode (reference: translate "
+                         "-random_sampling_topk/-random_sampling_temp)")
+    ap.add_argument("--temperature", type=float, default=1.0,
+                    help="sampling softmax temperature")
+    ap.add_argument("--sampling-topk", type=int, default=0,
+                    help="restrict sampling to the top-k tokens (0 = full vocab)")
+    ap.add_argument("--sampling-topp", type=float, default=0.0,
+                    help="nucleus sampling mass (0 = off)")
+    ap.add_argument("--sampling-seed", type=int, default=0,
+                    help="PRNG seed for --sample")
     ap.add_argument("--batch-chunks", type=int, default=0, help="override batch size")
     ap.add_argument("--stitch", choices=["trim", "align", "attn"], default="trim",
                     help="chunk merge rule: proportional trim, overlap "
@@ -88,10 +99,18 @@ def main(argv=None) -> int:
 
     params, config = load_params_and_config(args.ckpt)
     overrides = {}
+    if args.beam > 0 and args.sample:
+        log.error("--beam and --sample are mutually exclusive")
+        return 2
     if args.beam > 0:
         overrides.update(mode="beam", beam_size=args.beam,
                          length_penalty=args.length_penalty, alpha=args.alpha,
                          coverage_penalty=args.coverage_penalty, beta=args.beta)
+    if args.sample:
+        overrides.update(mode="sample", temperature=args.temperature,
+                         sampling_topk=args.sampling_topk,
+                         sampling_topp=args.sampling_topp,
+                         sampling_seed=args.sampling_seed)
     if args.min_len > 0:
         overrides.update(min_len=args.min_len)
     if args.batch_chunks > 0:

@@ -86,8 +86,14 @@ class DecodeConfig:
     """Decoding strategy (reference: onmt/translate/* + penalties,
     SURVEY.md §2.1, §3.5)."""
 
-    mode: str = "greedy"          # "greedy" | "beam"
+    mode: str = "greedy"          # "greedy" | "beam" | "sample"
     beam_size: int = 5
+    # --- random-sampling mode (reference: random_sampling.py —
+    # translate -random_sampling_topk/-random_sampling_temp) ---
+    temperature: float = 1.0      # softmax temperature (sample mode)
+    sampling_topk: int = 0        # restrict sampling to top-k tokens (0 = full vocab)
+    sampling_topp: float = 0.0    # nucleus sampling mass (0 = off)
+    sampling_seed: int = 0        # PRNG seed for sample mode
     # Default is per-token average normalization: with label smoothing
     # (train default 0.1, vocab 8) every token is floored at p ~ eps/7,
     # so an unnormalized score prefers EOS-at-step-1 (-4.3) over any

@@ -61,10 +61,25 @@ class StreamingBasecaller:
             pos = jnp.zeros(r.tokens[:, 0].shape, jnp.int32)
             return r.tokens[:, 0], r.lengths[:, 0], lps, pos
 
-        program = greedy_program if dcfg.mode == "greedy" else beam_program
+        def sample_program(params, signal, lengths, key):
+            from nanodecoder_tpu.decode.sampling import sample_decode
+
+            memory, mem_len = encode(params, mcfg, signal, lengths)
+            r = sample_decode(params, mcfg, dcfg, memory, mem_len, key)
+            ds = mcfg.time_downsample
+            return r.tokens, r.lengths, r.token_log_probs, r.attn_pos * ds + ds // 2
+
+        self._sampling = dcfg.mode == "sample"
+        if self._sampling:
+            program = sample_program
+            self._sample_base_key = jax.random.PRNGKey(dcfg.sampling_seed)
+            self._sample_batch_no = 0
+        else:
+            program = greedy_program if dcfg.mode == "greedy" else beam_program
         if mesh_plan is not None:
             self._params = mesh_plan.replicate(params)
-            self._program = mesh_plan.shard_decode_fn(program)
+            self._program = mesh_plan.shard_decode_fn(
+                program, n_extra_replicated=1 if self._sampling else 0)
             self._place = mesh_plan.shard_batch
         else:
             self._params = jax.device_put(params)
@@ -72,6 +87,10 @@ class StreamingBasecaller:
             self._place = lambda b: b
 
     def _decode(self, signal, lengths):
+        if self._sampling:
+            key = jax.random.fold_in(self._sample_base_key, self._sample_batch_no)
+            self._sample_batch_no += 1
+            return self._program(self._params, signal, lengths, key)
         return self._program(self._params, signal, lengths)
 
     # -----------------------------------------------------------------
@@ -127,7 +146,7 @@ class StreamingBasecaller:
                 seqs.append(DNA_VOCAB.decode(toks[:tlen]))
                 quals.append(_phred_from_log_probs(lps[:tlen]))
                 positions.append(pos[:tlen])
-            if stitch_method == "attn" and cfg.decode.mode == "greedy":
+            if stitch_method == "attn" and cfg.decode.mode in ("greedy", "sample"):
                 from nanodecoder_tpu.io.stitch import stitch_chunks_attn
 
                 seq = stitch_chunks_attn(seqs, positions, cb.starts, cb.lengths)

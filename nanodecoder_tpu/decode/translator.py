@@ -26,6 +26,7 @@ import numpy as np
 from nanodecoder_tpu.config import Config
 from nanodecoder_tpu.decode.beam import beam_decode
 from nanodecoder_tpu.decode.greedy import greedy_decode
+from nanodecoder_tpu.decode.sampling import sample_decode
 from nanodecoder_tpu.io.fast5 import RawRead
 from nanodecoder_tpu.io.signal import chunk_signal, normalize_signal
 from nanodecoder_tpu.io.stitch import stitch_chunks
@@ -73,10 +74,22 @@ class Translator:
             self._decode_p = jax.jit(self._greedy_program)
         elif mode == "beam":
             self._decode_p = jax.jit(self._beam_program)
+        elif mode == "sample":
+            if config.decode.temperature <= 0.0:
+                raise ValueError("sample mode needs temperature > 0")
+            self._decode_p = jax.jit(self._sample_program)
+            self._sample_base_key = jax.random.PRNGKey(config.decode.sampling_seed)
+            self._sample_batch_no = 0
         else:
             raise ValueError(f"unknown decode mode {mode!r}")
 
     def _decode_jit(self, signal, lengths):
+        if self.config.decode.mode == "sample":
+            # One key per dispatched batch: deterministic for a fixed
+            # seed + batch order, independent across batches.
+            key = jax.random.fold_in(self._sample_base_key, self._sample_batch_no)
+            self._sample_batch_no += 1
+            return self._decode_p(self.params, signal, lengths, key)
         return self._decode_p(self.params, signal, lengths)
 
     # --- jitted programs -------------------------------------------------
@@ -87,6 +100,15 @@ class Translator:
         res = greedy_decode(params, cfg, memory, mem_lengths,
                             min_len=self.config.decode.min_len)
         # Encoder position -> sample position (center of the conv window).
+        ds = cfg.time_downsample
+        sample_pos = res.attn_pos * ds + ds // 2
+        return res.tokens, res.lengths, res.token_log_probs, res.scores, sample_pos
+
+    def _sample_program(self, params, signal, lengths, key):
+        cfg = self.config.model
+        memory, mem_lengths = encode(params, cfg, signal, lengths)
+        res = sample_decode(params, cfg, self.config.decode, memory,
+                            mem_lengths, key)
         ds = cfg.time_downsample
         sample_pos = res.attn_pos * ds + ds // 2
         return res.tokens, res.lengths, res.token_log_probs, res.scores, sample_pos
@@ -163,7 +185,7 @@ class Translator:
             cb.chunks, cb.lengths
         )
         seqs = [self.vocab.decode(tokens[i, : tok_lengths[i]]) for i in range(cb.n_chunks)]
-        if stitch_method == "attn" and self.config.decode.mode == "greedy":
+        if stitch_method == "attn" and self.config.decode.mode in ("greedy", "sample"):
             from nanodecoder_tpu.io.stitch import stitch_chunks_attn
 
             positions = [attn_pos[i, : tok_lengths[i]] for i in range(cb.n_chunks)]

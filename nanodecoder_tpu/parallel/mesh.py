@@ -56,12 +56,15 @@ class MeshPlan:
 
     # --- program builders -----------------------------------------------
 
-    def shard_decode_fn(self, fn: Callable) -> Callable:
-        """Jit `fn(params, signal, lengths) -> outputs` with params
+    def shard_decode_fn(self, fn: Callable, n_extra_replicated: int = 0) -> Callable:
+        """Jit `fn(params, signal, lengths, *extra) -> outputs` with
+        params (and any trailing extra args, e.g. a sampling PRNG key)
         replicated and the batch sharded on `data`."""
+        extra = tuple(self.replicated() for _ in range(n_extra_replicated))
         return jax.jit(
             fn,
-            in_shardings=(self.replicated(), self.data_sharded(2), self.data_sharded(1)),
+            in_shardings=(self.replicated(), self.data_sharded(2),
+                          self.data_sharded(1)) + extra,
             out_shardings=None,  # let XLA propagate (batch-sharded)
         )
 

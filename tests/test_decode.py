@@ -231,3 +231,111 @@ def test_translator_nbest(setup):
     tok, tl, sc = tr.decode_nbest(chunks, lens)
     assert tok.shape[:2] == (2, 2)
     assert (np.diff(sc, axis=1) <= 1e-6).all()  # best-first
+
+
+# ---------------------------------------------------------------------------
+# random-sampling decode (reference random_sampling.py parity)
+
+
+def test_restrict_topk_semantics():
+    from nanodecoder_tpu.decode.sampling import restrict_log_probs
+
+    lp = jax.nn.log_softmax(jnp.asarray([[0.1, 2.0, -1.0, 3.0, 0.5, -2.0, 1.0, 0.0]]))
+    out = np.asarray(restrict_log_probs(lp, topk=3, topp=0.0))[0]
+    kept = np.argsort(np.asarray(lp)[0])[-3:]
+    masked = [i for i in range(8) if i not in kept]
+    assert np.all(out[masked] < -1e8)
+    # renormalized: kept probs sum to 1
+    np.testing.assert_allclose(np.exp(out[kept]).sum(), 1.0, rtol=1e-5)
+    # relative order preserved among kept
+    base = np.asarray(lp)[0][kept]
+    assert np.all(np.argsort(out[kept]) == np.argsort(base))
+
+
+def test_restrict_topp_semantics():
+    from nanodecoder_tpu.decode.sampling import restrict_log_probs
+
+    probs = np.array([[0.5, 0.3, 0.1, 0.05, 0.03, 0.01, 0.005, 0.005]], np.float32)
+    lp = jnp.log(jnp.asarray(probs))
+    # p=0.75: {0.5} has mass 0.5 < 0.75, so token 1 is included; token 2
+    # is excluded (prefix mass before it is 0.8 >= 0.75).
+    out = np.asarray(restrict_log_probs(lp, topk=0, topp=0.75))[0]
+    assert out[0] > -1e8 and out[1] > -1e8
+    assert np.all(out[2:] < -1e8)
+    np.testing.assert_allclose(np.exp(out[:2]).sum(), 1.0, rtol=1e-5)
+
+
+def test_sample_topk1_equals_greedy(setup):
+    """topk=1 sampling is argmax decoding regardless of the key."""
+    import dataclasses as dc
+
+    from nanodecoder_tpu.decode.sampling import sample_decode
+
+    cfg, params, memory, mem_len = setup
+    dcfg = dc.replace(tiny_test_config().decode, mode="sample", sampling_topk=1)
+    g = greedy_decode(params, cfg, memory, mem_len)
+    s = sample_decode(params, cfg, dcfg, memory, mem_len, jax.random.PRNGKey(42))
+    np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(s.tokens))
+    np.testing.assert_array_equal(np.asarray(g.lengths), np.asarray(s.lengths))
+
+
+def test_sample_deterministic_per_key(setup):
+    import dataclasses as dc
+
+    from nanodecoder_tpu.decode.sampling import sample_decode
+
+    cfg, params, memory, mem_len = setup
+    dcfg = dc.replace(tiny_test_config().decode, mode="sample", temperature=1.5)
+    a = sample_decode(params, cfg, dcfg, memory, mem_len, jax.random.PRNGKey(7))
+    b = sample_decode(params, cfg, dcfg, memory, mem_len, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    c = sample_decode(params, cfg, dcfg, memory, mem_len, jax.random.PRNGKey(8))
+    # An untrained tiny model at temp 1.5 is near-uniform over 8 tokens:
+    # a different key virtually surely yields a different token matrix.
+    assert not np.array_equal(np.asarray(a.tokens), np.asarray(c.tokens))
+
+
+def test_sample_result_invariants(setup):
+    import dataclasses as dc
+
+    from nanodecoder_tpu.decode.sampling import sample_decode
+
+    cfg, params, memory, mem_len = setup
+    dcfg = dc.replace(tiny_test_config().decode, mode="sample",
+                      temperature=0.8, sampling_topp=0.9, min_len=2)
+    r = sample_decode(params, cfg, dcfg, memory, mem_len, jax.random.PRNGKey(0))
+    toks = np.asarray(r.tokens)
+    lens = np.asarray(r.lengths)
+    lps = np.asarray(r.token_log_probs)
+    for i in range(toks.shape[0]):
+        L = int(lens[i])
+        assert 1 <= L <= cfg.max_decode_len
+        assert np.all(toks[i, L:] == PAD_ID)
+        assert np.all(lps[i, L:] == 0.0)
+        # min_len: no EOS in the first 2 positions
+        assert not np.any(toks[i, :2] == EOS_ID)
+        if L < cfg.max_decode_len:
+            assert toks[i, L - 1] == EOS_ID
+    np.testing.assert_allclose(np.asarray(r.scores), lps.sum(-1), rtol=1e-5)
+
+
+def test_translator_sample_mode(setup):
+    import dataclasses as dc
+
+    from nanodecoder_tpu.decode.translator import Translator
+
+    cfg, params, memory, mem_len = setup
+    config = tiny_test_config()
+    config = dc.replace(config, decode=dc.replace(
+        config.decode, mode="sample", temperature=1.0, sampling_seed=3))
+    tr = Translator(params, config)
+    rng = np.random.default_rng(5)
+    chunks = rng.normal(size=(6, 256)).astype(np.float32)
+    lens = np.full((6,), 256, np.int32)
+    tokens, tlens, lps, scores, pos = tr.decode_chunk_batch(chunks, lens)
+    assert tokens.shape[0] == 6
+    assert (tlens >= 1).all()
+    # different batches use different fold_in keys but stay reproducible:
+    tr2 = Translator(params, config)
+    tokens2, *_ = tr2.decode_chunk_batch(chunks, lens)
+    np.testing.assert_array_equal(tokens, tokens2)

@@ -184,3 +184,25 @@ class TestPipelineStress:
         pipe.stop()
         pipe._producer_thread.join(timeout=10.0)
         assert not pipe._producer_thread.is_alive()
+
+
+class TestStreamingEngineSampleMode:
+    def test_sample_mode_end_to_end(self, tiny_params, tiny_config, tmp_path, rng_np):
+        import dataclasses as dc
+
+        from nanodecoder_tpu.decode.engine import StreamingBasecaller
+
+        config = dc.replace(tiny_config, decode=dc.replace(
+            tiny_config.decode, mode="sample", temperature=1.0, sampling_seed=11))
+        reads = {f"s{i}": rng_np.normal(0, 300, size=rng_np.integers(200, 900))
+                 for i in range(3)}
+        _write_multi_fast5(str(tmp_path / "s.fast5"), reads)
+        eng = StreamingBasecaller(tiny_params, config)
+        out = io.StringIO()
+        meter = eng.run([str(tmp_path / "s.fast5")], out)
+        assert meter.n_reads == 3
+        # reproducible across a fresh engine with the same seed
+        eng2 = StreamingBasecaller(tiny_params, config)
+        out2 = io.StringIO()
+        eng2.run([str(tmp_path / "s.fast5")], out2)
+        assert out.getvalue() == out2.getvalue()
