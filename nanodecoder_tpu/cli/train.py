@@ -27,6 +27,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--metrics", default="", help="JSONL metrics path")
+    ap.add_argument("--tensorboard", default="",
+                    help="TensorBoard event-file dir (optional secondary "
+                         "sink, reference ReportMgr parity)")
     ap.add_argument("--report-every", type=int, default=50)
     return ap
 
@@ -71,7 +74,8 @@ def main(argv=None) -> int:
 
     plan = make_mesh_plan(config.mesh) if jax.device_count() > 1 else None
     report = ReportManager(report_every=args.report_every,
-                           metrics_path=args.metrics or None)
+                           metrics_path=args.metrics or None,
+                           tensorboard_dir=args.tensorboard or None)
     ckpt = CheckpointManager(args.ckpt_dir, config,
                              max_to_keep=config.train.keep_checkpoints)
     trainer = Trainer(config, params, report=report, checkpointer=ckpt,

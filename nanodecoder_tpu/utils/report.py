@@ -1,9 +1,12 @@
 """Periodic training reports + structured JSON metrics.
 
 Reference analog: onmt/utils/report_manager.py (periodic log lines,
-optional TensorBoard; SURVEY.md §2.1).  TensorBoard is replaced with
-structured per-run JSONL metrics (SURVEY.md §5.5) — greppable, no
-extra dependency.
+optional TensorBoard; SURVEY.md §2.1).  The primary sink is structured
+per-run JSONL metrics (SURVEY.md §5.5) — greppable, no extra
+dependency; TensorBoard event files are an optional secondary sink
+(`tensorboard_dir=`, CLI `--tensorboard`), written via
+torch.utils.tensorboard when available and silently skipped otherwise
+(reference parity: ReportMgr's optional tensorboardX writer).
 """
 
 from __future__ import annotations
@@ -18,16 +21,32 @@ from nanodecoder_tpu.utils.statistics import Statistics
 
 
 class ReportManager:
-    def __init__(self, report_every: int = 50, metrics_path: str | None = None):
+    def __init__(self, report_every: int = 50, metrics_path: str | None = None,
+                 tensorboard_dir: str | None = None):
         self.report_every = report_every
         self.metrics_path = metrics_path
         self.log = get_logger("train")
         self._fh = open(metrics_path, "a") if metrics_path else None
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=tensorboard_dir)
+            except ImportError:  # optional, like the reference's tensorboardX
+                self.log.warning("tensorboard requested but unavailable; skipping")
 
     def _emit(self, record: dict[str, Any]) -> None:
         if self._fh is not None:
             self._fh.write(json.dumps(record) + "\n")
             self._fh.flush()
+        if self._tb is not None and "step" in record:
+            kind = record.get("kind", "train")
+            for key, val in record.items():
+                if key in ("kind", "step", "time"):
+                    continue
+                if isinstance(val, (int, float)):
+                    self._tb.add_scalar(f"{kind}/{key}", val, record["step"])
 
     def report_training(self, step: int, stats: Statistics, lr: float) -> None:
         if step % self.report_every != 0:
@@ -73,3 +92,6 @@ class ReportManager:
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None

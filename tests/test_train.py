@@ -174,3 +174,21 @@ class TestGuidedAttention:
         batch = next(synthetic_batches(cfg, seed=0))
         state2, m = step(state, batch, jax.random.PRNGKey(1))
         assert int(m["n_tokens"]) > 0
+
+
+def test_report_manager_tensorboard(tmp_path):
+    """Optional TensorBoard sink writes event files alongside JSONL."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from nanodecoder_tpu.utils.report import ReportManager
+    from nanodecoder_tpu.utils.statistics import Statistics
+
+    rm = ReportManager(report_every=1, metrics_path=str(tmp_path / "m.jsonl"),
+                       tensorboard_dir=str(tmp_path / "tb"))
+    st = Statistics()
+    st.update(loss=10.0, n_tokens=20, n_correct=5)
+    rm.report_training(1, st, lr=0.1)
+    rm.close()
+    import os
+    events = [f for f in os.listdir(tmp_path / "tb") if "tfevents" in f]
+    assert events, "no event file written"
+    assert (tmp_path / "m.jsonl").read_text().count('"kind": "train"') == 1
