@@ -12,11 +12,19 @@ standard JAX NMT pattern).  All beams of all chunks live in one
 (B*K)-row device batch; each step does ONE fused program:
 
   log-prob add -> top_k(2K) over K*V -> split alive/finished ->
-  gather sequences + KV caches by beam origin.
+  gather KV caches by beam origin.
 
 2K candidates guarantee K non-EOS continuations always exist.  The
 whole loop is a `lax.while_loop` with an admissible early-stop bound
 (best achievable alive score vs worst kept finished score).
+
+Sequences are tracked with BACKPOINTERS, not materialized hypothesis
+matrices: the loop writes only (B, K) token/origin rows per step
+(tok_hist / org_hist) and finished hypotheses store (score, end step,
+origin beam).  Full sequences are reconstructed once after the loop by
+a reverse scan.  The naive formulation gathered three (B, ~2K, T_max)
+sequence matrices per step, which measured ~340 us/step at b=16 K=5 on
+the v5e (~30% of the whole beam step) — see docs/PERF.md.
 """
 
 from __future__ import annotations
@@ -47,6 +55,35 @@ def _gather_beams(x, idx):
     return jax.vmap(lambda row, i: row[i])(x, idx)
 
 
+def _backtrack(tok_hist, org_hist, eos_at, start_beam, emit_eos, tmax):
+    """Reconstruct sequences from backpointers.
+
+    tok_hist/org_hist: (B, K, T) — token emitted by / origin of alive
+    beam j at step t.  For each output slot (B, S): `eos_at` is the
+    position of the final token (EOS for finished hypotheses, one past
+    the last token for alive fallbacks), `start_beam` the alive-beam
+    index the path ends in, `emit_eos` whether position eos_at holds
+    EOS.  eos_at = -1 yields an all-PAD row.  Returns (B, S, T) int32.
+    """
+    b, s = eos_at.shape
+
+    def step(cur, t):
+        # cur: (B, S) alive-beam index valid for reading step t.
+        tok_t = tok_hist[:, :, t]                      # (B, K)
+        org_t = org_hist[:, :, t]
+        read = jnp.take_along_axis(tok_t, cur, axis=1)  # (B, S)
+        nxt = jnp.take_along_axis(org_t, cur, axis=1)
+        out = jnp.where(
+            (t == eos_at) & emit_eos, EOS_ID,
+            jnp.where(t < eos_at, read, PAD_ID),
+        ).astype(jnp.int32)
+        cur = jnp.where(t < eos_at, nxt, start_beam)
+        return cur, out
+
+    _, cols = jax.lax.scan(step, start_beam, jnp.arange(tmax - 1, -1, -1))
+    return jnp.moveaxis(cols[::-1], 0, 2)  # (T,B,S) -> (B,S,T)
+
+
 def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
                 memory, mem_lengths) -> BeamResult:
     """Beam-search decode a memory-bank batch.  memory: (B, S, D)."""
@@ -72,15 +109,18 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     init = dict(
         state=state0,
         cur=jnp.full((b * k,), BOS_ID, jnp.int32),
-        alive_seq=jnp.full((b, k, tmax), PAD_ID, jnp.int32),
         # Beam 0 starts at 0, the rest at -inf so step 0 picks distinct tokens.
         alive_scores=jnp.tile(
             jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)])[None, :],
             (b, 1),
         ).astype(jnp.float32),
-        fin_seq=jnp.full((b, k, tmax), PAD_ID, jnp.int32),
+        # Backpointer history of the alive set (written, never gathered).
+        tok_hist=jnp.full((b, k, tmax), PAD_ID, jnp.int32),
+        org_hist=jnp.zeros((b, k, tmax), jnp.int32),
+        # Finished-set metadata; sequences are reconstructed post-loop.
         fin_scores=jnp.full((b, k), NEG_INF, jnp.float32),
-        fin_lengths=jnp.zeros((b, k), jnp.int32),
+        fin_step=jnp.full((b, k), -1, jnp.int32),   # position of EOS
+        fin_origin=jnp.zeros((b, k), jnp.int32),    # parent alive beam at fin_step-1
         fin_flags=jnp.zeros((b, k), jnp.bool_),
         cov=jnp.zeros((b, k, s if need_cov else 1), jnp.float32),
         t=jnp.zeros((), jnp.int32),
@@ -160,44 +200,44 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
             all_scores = jnp.concatenate([c["fin_scores"], new_fin_cand], axis=1)
             new_fin_scores, fin_idx = jax.lax.top_k(all_scores, k)  # idx in [0,3K)
 
-        cand_seq = _gather_beams(c["alive_seq"], origin)  # (B, 2K, T)
-        cand_seq = jax.lax.dynamic_update_slice_in_dim(
-            cand_seq, tok[:, :, None], t, axis=2
-        )
-
-        # ---- new alive: best K non-EOS candidates ----
-        new_alive_seq = _gather_beams(cand_seq, alive_idx)
+        # ---- new alive: best K non-EOS candidates — record
+        # backpointers only (token + origin), no sequence gathers ----
         alive_origin = jnp.take_along_axis(origin, alive_idx, axis=1)  # (B, K)
-        new_cur = jnp.take_along_axis(tok, alive_idx, axis=1).reshape(-1)
+        alive_tok = jnp.take_along_axis(tok, alive_idx, axis=1)        # (B, K)
+        new_cur = alive_tok.reshape(-1)
+        tok_hist = jax.lax.dynamic_update_slice_in_dim(
+            c["tok_hist"], alive_tok[:, :, None], t, axis=2)
+        org_hist = jax.lax.dynamic_update_slice_in_dim(
+            c["org_hist"], alive_origin[:, :, None], t, axis=2)
         new_cov = _gather_beams(cov_cand, alive_idx) if need_cov else c["cov"]
 
         # ---- reorder decoder state rows by beam origin ----
-        # Block-diagonal one-hot matmul, not a leading-dim gather (TPU
-        # gathers on the cache's row axis are ~3x slower — measured).
         state = reorder_decode_state_beam(state, alive_origin)
 
-        # ---- merge newly finished into the finished set ----
-        all_seq = jnp.concatenate([c["fin_seq"], cand_seq], axis=1)
-        all_len = jnp.concatenate(
-            [c["fin_lengths"], jnp.full((b, 2 * k), t + 1, jnp.int32)], axis=1
-        )
+        # ---- merge newly finished into the finished set (metadata
+        # only: score, EOS position, parent beam) ----
+        all_step = jnp.concatenate(
+            [c["fin_step"], jnp.full((b, 2 * k), t, jnp.int32)], axis=1)
+        all_org = jnp.concatenate([c["fin_origin"], origin], axis=1)
         all_flags = jnp.concatenate([c["fin_flags"], is_eos], axis=1)
         return dict(
             state=state,
             cur=new_cur,
-            alive_seq=new_alive_seq,
             alive_scores=new_alive_scores,
-            fin_seq=_gather_beams(all_seq, fin_idx),
+            tok_hist=tok_hist,
+            org_hist=org_hist,
             fin_scores=new_fin_scores,
-            fin_lengths=jnp.take_along_axis(all_len, fin_idx, axis=1),
+            fin_step=jnp.take_along_axis(all_step, fin_idx, axis=1),
+            fin_origin=jnp.take_along_axis(all_org, fin_idx, axis=1),
             fin_flags=jnp.take_along_axis(all_flags, fin_idx, axis=1),
             cov=new_cov,
             t=t + 1,
         )
 
     out = jax.lax.while_loop(cond, body, init)
+    t_end = out["t"]
 
-    # Rows with no finished hypothesis fall back to the best alive beam
+    # Rows with no finished hypothesis fall back to the best alive beams
     # (length-penalized at tmax), matching reference behavior when no
     # EOS is emitted within max_len.
     none_finished = ~jnp.any(out["fin_flags"], axis=1)  # (B,)
@@ -205,10 +245,21 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     if need_cov:
         alive_pen_scores = alive_pen_scores - coverage_penalty(
             out["cov"], dcfg.coverage_penalty, dcfg.beta)
-    sel = none_finished[:, None]
-    fin_seq = jnp.where(sel[:, :, None], out["alive_seq"], out["fin_seq"])
+    sel = none_finished[:, None]                         # (B, 1)
+    beam_ids = jnp.tile(jnp.arange(k)[None, :], (b, 1))  # (B, K)
+
+    # Per output slot: final-token position, path-end beam, EOS flag.
+    # Unfilled finished slots (flags False, fin_step -1) become all-PAD.
+    eos_at = jnp.where(sel, t_end, jnp.where(out["fin_flags"], out["fin_step"], -1))
+    start_beam = jnp.where(sel, beam_ids, out["fin_origin"])
+    emit_eos = jnp.where(sel, False, out["fin_flags"])
+
+    tokens = _backtrack(out["tok_hist"], out["org_hist"], eos_at,
+                        start_beam, emit_eos, tmax)
     fin_scores = jnp.where(sel, alive_pen_scores, out["fin_scores"])
-    fin_lengths = jnp.where(sel, jnp.full((b, k), tmax, jnp.int32), out["fin_lengths"])
+    fin_lengths = jnp.where(
+        sel, jnp.full((b, k), tmax, jnp.int32),
+        jnp.where(out["fin_flags"], out["fin_step"] + 1, 0))
     fin_flags = jnp.where(sel, jnp.zeros((b, k), jnp.bool_), out["fin_flags"])
-    return BeamResult(tokens=fin_seq, lengths=fin_lengths, scores=fin_scores,
+    return BeamResult(tokens=tokens, lengths=fin_lengths, scores=fin_scores,
                       finished=fin_flags)
