@@ -38,7 +38,8 @@ def build_argparser() -> argparse.ArgumentParser:
 def _real_examples(labels_tsv: str, config) -> "list[dict]":
     from nanodecoder_tpu.io.fast5 import read_fast5_file
     from nanodecoder_tpu.io.signal import chunk_signal, normalize_signal
-    from nanodecoder_tpu.vocab import BOS_ID, EOS_ID, PAD_ID
+    from nanodecoder_tpu.train.data import pack_targets
+    from nanodecoder_tpu.vocab import make_vocab
 
     scfg, mcfg = config.signal, config.model
     tmax = mcfg.max_decode_len
@@ -51,7 +52,7 @@ def _real_examples(labels_tsv: str, config) -> "list[dict]":
             path, rid, seq = parts
             by_file.setdefault(path, {})[rid] = seq
 
-    table = {"A": 4, "C": 5, "G": 6, "T": 7}
+    vocab = make_vocab(mcfg.kmer_k)
     out = []
     for path, wanted in by_file.items():
         for read in read_fast5_file(path):
@@ -67,14 +68,8 @@ def _real_examples(labels_tsv: str, config) -> "list[dict]":
                 s, l = int(cb.starts[i]), int(cb.lengths[i])
                 lo = int(round(len(seq) * s / n))
                 hi = int(round(len(seq) * (s + l) / n))
-                sub = seq[lo:hi][: tmax - 1]
-                ids = np.array([table.get(c, 3) for c in sub.upper()], np.int32)
-                tgt_in = np.full(tmax, PAD_ID, np.int32)
-                tgt_out = np.full(tmax, PAD_ID, np.int32)
-                tgt_in[0] = BOS_ID
-                tgt_in[1 : len(ids) + 1] = ids
-                tgt_out[: len(ids)] = ids
-                tgt_out[len(ids)] = EOS_ID
+                ids = vocab.encode(seq[lo:hi])[: tmax - 1]
+                tgt_in, tgt_out = pack_targets(ids, tmax)
                 out.append({
                     "signal": cb.chunks[i],
                     "sig_lengths": np.int32(l),

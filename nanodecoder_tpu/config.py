@@ -43,6 +43,7 @@ class ModelConfig:
     model_builder.build_model, SURVEY.md §2.1)."""
 
     vocab_size: int = 8
+    kmer_k: int = 1                     # target tokens = k-mers (SURVEY §2.2); vocab_size must equal vocab_size_for(kmer_k)
     d_model: int = 256
     # --- conv front-end over raw samples (reference: audio-encoder-style
     # conv stack, SURVEY.md §2.1 'Encoder front-end') ---
@@ -171,9 +172,17 @@ class Config:
                 kwargs[k] = v
             return cls(**kwargs)
 
+        model_raw = raw.get("model", {})
+        model = build(ModelConfig, model_raw)
+        if "vocab_size" not in model_raw and model.kmer_k != 1:
+            # Ergonomics: a config that sets only kmer_k gets the
+            # matching generator/embedding dimension automatically.
+            from nanodecoder_tpu.vocab import vocab_size_for
+
+            model = dataclasses.replace(model, vocab_size=vocab_size_for(model.kmer_k))
         return Config(
             signal=build(SignalConfig, raw.get("signal", {})),
-            model=build(ModelConfig, raw.get("model", {})),
+            model=model,
             decode=build(DecodeConfig, raw.get("decode", {})),
             train=build(TrainConfig, raw.get("train", {})),
             mesh=build(MeshConfig, raw.get("mesh", {})),

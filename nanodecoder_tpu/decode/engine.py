@@ -34,7 +34,7 @@ from nanodecoder_tpu.io.stitch import stitch_chunks
 from nanodecoder_tpu.models.model import encode
 from nanodecoder_tpu.utils.logging import get_logger
 from nanodecoder_tpu.utils.statistics import ThroughputMeter
-from nanodecoder_tpu.vocab import DNA_VOCAB
+from nanodecoder_tpu.vocab import make_vocab
 
 log = get_logger("engine")
 
@@ -44,6 +44,7 @@ class StreamingBasecaller:
         self.config = config
         self.depth = depth
         mcfg, dcfg = config.model, config.decode
+        self.vocab = make_vocab(mcfg.kmer_k)
 
         # Params are jit arguments (device-resident), never closures —
         # see Translator.__init__ for the measured cost of capturing.
@@ -143,9 +144,14 @@ class StreamingBasecaller:
             seqs, quals, positions = [], [], []
             for ci in range(cb.n_chunks):
                 toks, tlen, lps, pos = parts[ci]
-                seqs.append(DNA_VOCAB.decode(toks[:tlen]))
-                quals.append(_phred_from_log_probs(lps[:tlen]))
-                positions.append(pos[:tlen])
+                # Expand per-token streams per base (k-mer tokens emit
+                # len(token) bases each).
+                seq_c, pos_c, lp_c = self.vocab.decode_expand(
+                    toks[:tlen], pos[:tlen], lps[:tlen]
+                )
+                seqs.append(seq_c)
+                quals.append(_phred_from_log_probs(lp_c))
+                positions.append(pos_c)
             if stitch_method == "attn" and cfg.decode.mode in ("greedy", "sample"):
                 from nanodecoder_tpu.io.stitch import stitch_chunks_attn
 

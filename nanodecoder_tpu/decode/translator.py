@@ -31,7 +31,7 @@ from nanodecoder_tpu.io.fast5 import RawRead
 from nanodecoder_tpu.io.signal import chunk_signal, normalize_signal
 from nanodecoder_tpu.io.stitch import stitch_chunks
 from nanodecoder_tpu.models.model import encode
-from nanodecoder_tpu.vocab import DNA_VOCAB
+from nanodecoder_tpu.vocab import make_vocab
 
 
 @dataclasses.dataclass
@@ -68,7 +68,7 @@ class Translator:
         # 50ms->0.3ms after this change).
         self.params = jax.device_put(params)
         self.config = config
-        self.vocab = DNA_VOCAB
+        self.vocab = make_vocab(config.model.kmer_k)
         mode = config.decode.mode
         if mode == "greedy":
             self._decode_p = jax.jit(self._greedy_program)
@@ -184,11 +184,21 @@ class Translator:
         tokens, tok_lengths, token_lps, _scores, attn_pos = self.decode_chunk_batch(
             cb.chunks, cb.lengths
         )
-        seqs = [self.vocab.decode(tokens[i, : tok_lengths[i]]) for i in range(cb.n_chunks)]
+        # Per-token streams (positions, log-probs) expanded per-base so
+        # multi-base k-mer tokens stay aligned with the base string.
+        seqs, positions, qs = [], [], []
+        for i in range(cb.n_chunks):
+            tl = int(tok_lengths[i])
+            seq_i, pos_i, lp_i = self.vocab.decode_expand(
+                tokens[i, :tl], attn_pos[i, :tl], token_lps[i, :tl]
+            )
+            seqs.append(seq_i)
+            positions.append(pos_i)
+            if lp_i.size:
+                qs.append(_phred_from_log_probs(lp_i))
         if stitch_method == "attn" and self.config.decode.mode in ("greedy", "sample"):
             from nanodecoder_tpu.io.stitch import stitch_chunks_attn
 
-            positions = [attn_pos[i, : tok_lengths[i]] for i in range(cb.n_chunks)]
             seq = stitch_chunks_attn(seqs, positions, cb.starts, cb.lengths)
         else:
             if stitch_method == "attn":
@@ -197,12 +207,7 @@ class Translator:
                 seqs, cb.starts, cb.lengths, scfg.chunk_len, scfg.chunk_overlap,
                 method=stitch_method,
             )
-        # Mean qscore over emitted (non-pad) tokens of all chunks.
-        qs = []
-        for i in range(cb.n_chunks):
-            tl = int(tok_lengths[i])
-            if tl > 0:
-                qs.append(_phred_from_log_probs(token_lps[i, :tl]))
+        # Mean qscore over emitted bases of all chunks.
         mean_q = float(np.mean(np.concatenate(qs))) if qs else 0.0
         return Basecall(
             read_id=read.read_id,

@@ -24,6 +24,15 @@ from nanodecoder_tpu.models.encoder import encoder_apply, init_encoder
 
 
 def init_model(rng, cfg: ModelConfig):
+    from nanodecoder_tpu.vocab import vocab_size_for
+
+    expected = vocab_size_for(cfg.kmer_k)
+    if cfg.vocab_size != expected:
+        raise ValueError(
+            f"ModelConfig.vocab_size={cfg.vocab_size} does not match "
+            f"kmer_k={cfg.kmer_k} (expected vocab_size_for({cfg.kmer_k})="
+            f"{expected}); set both consistently"
+        )
     k_enc, k_dec, k_emb, k_gen = jax.random.split(rng, 4)
     params = {
         "encoder": init_encoder(k_enc, cfg),

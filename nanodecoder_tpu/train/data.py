@@ -24,6 +24,21 @@ from nanodecoder_tpu.config import Config
 from nanodecoder_tpu.vocab import BOS_ID, EOS_ID, PAD_ID
 
 
+def pack_targets(ids: np.ndarray, tmax: int) -> tuple[np.ndarray, np.ndarray]:
+    """Token ids -> fixed-shape (tgt_in, tgt_out) teacher-forcing pair:
+    tgt_in = BOS + ids, tgt_out = ids + EOS, both PAD-padded to tmax.
+    `ids` must already be truncated to <= tmax - 1."""
+    assert ids.shape[0] <= tmax - 1, "ids must leave room for EOS"
+    tgt_in = np.full(tmax, PAD_ID, np.int32)
+    tgt_out = np.full(tmax, PAD_ID, np.int32)
+    L = ids.shape[0]
+    tgt_in[0] = BOS_ID
+    tgt_in[1 : L + 1] = ids
+    tgt_out[:L] = ids
+    tgt_out[L] = EOS_ID
+    return tgt_in, tgt_out
+
+
 @dataclasses.dataclass
 class SimSpec:
     """Nanopore-ish signal model: 3-mer context current levels."""
@@ -116,7 +131,6 @@ def make_example(
     mids = ends - dwells / 2.0
     sel = (mids >= start) & (mids < start + n)
     label = "".join(c for c, m in zip(seq, sel) if m)
-    label = label[: tmax - 1]  # leave room for EOS
 
     signal = np.zeros(clen, np.float32)
     signal[:n] = sig
@@ -125,14 +139,12 @@ def make_example(
     signal[:n] = normalize_signal(signal[:n], scfg.normalization, scfg.mad_scale,
                                   scfg.clip_sigma)
 
-    ids = np.array([{"A": 4, "C": 5, "G": 6, "T": 7}[c] for c in label], np.int32)
-    tgt_in = np.full(tmax, PAD_ID, np.int32)
-    tgt_out = np.full(tmax, PAD_ID, np.int32)
-    L = ids.shape[0]
-    tgt_in[0] = BOS_ID
-    tgt_in[1 : L + 1] = ids[: tmax - 1]
-    tgt_out[:L] = ids[: tmax]
-    tgt_out[L] = EOS_ID
+    from nanodecoder_tpu.vocab import make_vocab
+
+    # Tokenize through the configured k-mer vocab (truncate at a token
+    # boundary, leaving room for EOS).
+    ids = make_vocab(mcfg.kmer_k).encode(label)[: tmax - 1]
+    tgt_in, tgt_out = pack_targets(ids, tmax)
     return {
         "signal": signal,
         "sig_lengths": np.int32(n),

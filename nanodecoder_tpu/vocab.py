@@ -2,24 +2,33 @@
 
 The reference (an OpenNMT-py derivative, SURVEY.md §2.2) uses torchtext
 Fields with a target vocab of the 4 DNA bases plus specials
-(<blank>/pad, <s>, </s>, <unk>).  There is no source vocab: the source
-side is continuous signal, embedded by the conv front-end.
+(<blank>/pad, <s>, </s>, <unk>).  SURVEY.md §2.2 also flags that some
+basecaller variants use k-mer tokens (e.g. 3-mers => 64+specials),
+which changes the generator dimension and the beam `beam*vocab` topk
+width — so the vocab is parameterized by k here (ModelConfig.kmer_k).
+There is no source vocab: the source side is continuous signal,
+embedded by the conv front-end.
 
-We keep the same logical alphabet but fix the id layout statically —
-the vocab is tiny and static, so there is nothing to "build" at
-preprocess time.  Layout (PAD=0 matters: padded targets contribute zero
+Id layout is static (nothing to "build" at preprocess time) and the
+special ids are k-invariant, so the decode loops (greedy/beam/sample)
+never change with k (PAD=0 matters: padded targets contribute zero
 loss; BOS/EOS drive the decode loop):
 
-    0 <pad>   1 <s>(BOS)   2 </s>(EOS)   3 <unk>   4 A   5 C   6 G   7 T
+    0 <pad>   1 <s>(BOS)   2 </s>(EOS)   3 <unk>   4.. base tokens
 
-Vocab size 8 pads naturally into a single VPU lane group; the beam
-topk width is beam*8 (SURVEY.md §2.2 notes this shapes the fused beam
-kernel).
+For k=1 the base tokens are A,C,G,T (size 8, padding naturally into a
+single VPU lane group).  For k>1 they are ALL strings over ACGT of
+length 1..k in (length, lexicographic) order — the shorter tokens keep
+encoding exact when a label's length is not a multiple of k (the
+trailing partial group maps to a real token instead of <unk>).
+k=3 => 4 + 16 + 64 bases + 4 specials = 88.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
+import itertools
 
 import numpy as np
 
@@ -28,34 +37,55 @@ BOS_ID = 1
 EOS_ID = 2
 UNK_ID = 3
 BASES = "ACGT"
+_SPECIALS = ("<pad>", "<s>", "</s>", "<unk>")
+
+
+def vocab_size_for(k: int) -> int:
+    """Vocab size for k-mer tokenization: specials + all 1..k-mers."""
+    if k < 1:
+        raise ValueError(f"kmer k must be >= 1, got {k}")
+    return len(_SPECIALS) + sum(4 ** i for i in range(1, k + 1))
 
 
 @dataclasses.dataclass(frozen=True)
 class Vocab:
     """Static token<->id mapping for the basecaller target side."""
 
-    itos: tuple[str, ...] = ("<pad>", "<s>", "</s>", "<unk>", "A", "C", "G", "T")
+    itos: tuple[str, ...] = _SPECIALS + ("A", "C", "G", "T")
+    kmer: int = 1
 
     @property
     def size(self) -> int:
         return len(self.itos)
 
-    @property
+    @functools.cached_property
     def stoi(self) -> dict[str, int]:
         return {s: i for i, s in enumerate(self.itos)}
 
     def encode(self, seq: str, add_bos: bool = False, add_eos: bool = False) -> np.ndarray:
-        """Base string -> int32 ids (unknown chars -> <unk>)."""
+        """Base string -> int32 ids.
+
+        k=1: one id per character.  k>1: greedy non-overlapping groups
+        of k characters; the final group may be shorter (still a real
+        token).  Any group containing a non-ACGT character -> <unk>.
+        """
         table = self.stoi
-        ids = [table.get(c, UNK_ID) for c in seq.upper()]
+        seq = seq.upper()
+        k = self.kmer
+        if k == 1:
+            ids = [table.get(c, UNK_ID) for c in seq]
+        else:
+            ids = [table.get(seq[i : i + k], UNK_ID) for i in range(0, len(seq), k)]
         if add_bos:
             ids = [BOS_ID] + ids
         if add_eos:
             ids = ids + [EOS_ID]
         return np.asarray(ids, dtype=np.int32)
 
-    def decode(self, ids) -> str:
-        """Int ids -> base string.  Stops at EOS; skips PAD/BOS/UNK."""
+    def decode_tokens(self, ids) -> list[str]:
+        """Int ids -> list of base-token strings.  Stops at EOS; skips
+        PAD/BOS/UNK (UNK contributes no bases, like the reference's
+        TranslationBuilder dropping <unk> for a 4-letter alphabet)."""
         out = []
         for i in np.asarray(ids).reshape(-1):
             i = int(i)
@@ -64,7 +94,50 @@ class Vocab:
             if i in (PAD_ID, BOS_ID, UNK_ID):
                 continue
             out.append(self.itos[i])
-        return "".join(out)
+        return out
+
+    def decode(self, ids) -> str:
+        """Int ids -> base string.  Stops at EOS; skips PAD/BOS/UNK."""
+        return "".join(self.decode_tokens(ids))
+
+    def decode_expand(self, ids, *streams):
+        """ids + parallel per-token streams -> (seq, *per-base arrays).
+
+        Each stream value is repeated len(token) times so downstream
+        per-base consumers (attention-aligned stitching positions,
+        Phred qualities) stay aligned with the base string when tokens
+        are multi-base k-mers.  Stops at EOS, skips specials (they
+        contribute zero bases).
+        """
+        flat_ids = np.asarray(ids).reshape(-1)
+        flat_streams = [np.asarray(s).reshape(-1) for s in streams]
+        seq_parts: list[str] = []
+        outs: list[list] = [[] for _ in streams]
+        for row, i in enumerate(flat_ids):
+            i = int(i)
+            if i == EOS_ID:
+                break
+            if i in (PAD_ID, BOS_ID, UNK_ID):
+                continue
+            tok = self.itos[i]
+            seq_parts.append(tok)
+            for acc, s in zip(outs, flat_streams):
+                acc.extend([s[row]] * len(tok))
+        expanded = tuple(
+            np.asarray(acc, dtype=s.dtype) for acc, s in zip(outs, flat_streams)
+        )
+        return ("".join(seq_parts),) + expanded
 
 
-DNA_VOCAB = Vocab()
+@functools.lru_cache(maxsize=None)
+def make_vocab(k: int = 1) -> Vocab:
+    """The k-mer vocab: specials + all ACGT strings of length 1..k."""
+    if k < 1:
+        raise ValueError(f"kmer k must be >= 1, got {k}")
+    toks: list[str] = []
+    for n in range(1, k + 1):
+        toks.extend("".join(p) for p in itertools.product(BASES, repeat=n))
+    return Vocab(itos=_SPECIALS + tuple(toks), kmer=k)
+
+
+DNA_VOCAB = make_vocab(1)
