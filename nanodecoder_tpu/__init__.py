@@ -22,4 +22,4 @@ Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
 
 __version__ = "0.1.0"
 
-from nanodecoder_tpu.vocab import Vocab, DNA_VOCAB  # noqa: F401
+from nanodecoder_tpu.vocab import Vocab, DNA_VOCAB, make_vocab, vocab_size_for  # noqa: F401
