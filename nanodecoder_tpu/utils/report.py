@@ -26,7 +26,12 @@ class ReportManager:
         self.report_every = report_every
         self.metrics_path = metrics_path
         self.log = get_logger("train")
-        self._fh = open(metrics_path, "a") if metrics_path else None
+        if metrics_path:
+            parent = os.path.dirname(os.path.abspath(metrics_path))
+            os.makedirs(parent, exist_ok=True)
+            self._fh = open(metrics_path, "a")
+        else:
+            self._fh = None
         self._tb = None
         if tensorboard_dir:
             try:
