@@ -31,6 +31,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="TensorBoard event-file dir (optional secondary "
                          "sink, reference ReportMgr parity)")
     ap.add_argument("--report-every", type=int, default=50)
+    ap.add_argument("--data-workers", type=int, default=1,
+                    help="synthetic-generator worker threads (1 = single "
+                         "deterministic producer behind a prefetch queue; "
+                         ">1 interleaves per-seed streams for feed rate)")
     return ap
 
 
@@ -90,7 +94,15 @@ def main(argv=None) -> int:
         train_iter = shard_batches(args.data, config)
         valid_fn = None
     else:
-        train_iter = synthetic_batches(config, seed=config.train.seed)
+        from nanodecoder_tpu.train.data import interleave_batches, prefetch_batches
+
+        if args.data_workers > 1:
+            seeds = tuple(config.train.seed + i for i in range(args.data_workers))
+            train_iter = interleave_batches(config, seeds)
+        else:
+            train_iter = prefetch_batches(
+                synthetic_batches(config, seed=config.train.seed)
+            )
         valid_fn = lambda: iter(synthetic_valid_batches(config))  # noqa: E731
 
     if plan is not None:

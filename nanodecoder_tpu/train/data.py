@@ -175,6 +175,95 @@ def synthetic_batches(
         yield batch
 
 
+def prefetch_batches(
+    it: Iterator[dict[str, np.ndarray]], depth: int = 4
+) -> Iterator[dict[str, np.ndarray]]:
+    """Overlap host-side batch generation with device steps.
+
+    A single daemon producer thread drains `it` into a bounded queue
+    (preserving the source stream exactly — training stays
+    deterministic); the consumer blocks only when generation falls
+    behind.  Reference analog: the producer/iterator feeding per-GPU
+    batches (SURVEY.md §2.4 DP row); here it exists because the
+    synthetic simulator is host-compute-bound while the train step is
+    a ~4ms device program (docs/PERF.md).
+    """
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def producer() -> None:
+        try:
+            for batch in it:
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        finally:
+            q.put(None)  # sentinel: source exhausted (or stopped)
+
+    t = threading.Thread(target=producer, daemon=True, name="batch-prefetch")
+    t.start()
+    try:
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            yield batch
+    finally:
+        stop.set()
+
+
+def interleave_batches(
+    config: Config,
+    seeds: tuple[int, ...],
+    spec: SimSpec | None = None,
+    accum_axis: bool = True,
+    depth: int = 2,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Multi-worker synthetic generation: one producer thread per seed,
+    batches interleaved through a shared bounded queue.  Each worker's
+    stream is deterministic per its seed; the *interleaving order* is
+    not — use the single-producer `prefetch_batches(synthetic_batches(...))`
+    when exact batch-order reproducibility matters more than feed rate.
+    """
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=max(depth, len(seeds)))
+    stop = threading.Event()
+
+    def worker(seed: int) -> None:
+        src = synthetic_batches(config, spec=spec, seed=seed, accum_axis=accum_axis)
+        for batch in src:
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+            if stop.is_set():
+                return
+
+    threads = [
+        threading.Thread(target=worker, args=(s,), daemon=True, name=f"sim-{s}")
+        for s in seeds
+    ]
+    for t in threads:
+        t.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()
+
+
 def synthetic_valid_batches(config: Config, n_batches: int = 4, seed: int = 999,
                             spec: SimSpec | None = None):
     """Finite list of micro-batches (B, ...) for validation."""

@@ -86,6 +86,36 @@ class TestSimulator:
         assert b["tgt_in"].shape == (a, bs, tiny_config.model.max_decode_len)
         assert (b["tgt_in"][..., 0] == 1).all()  # BOS
 
+    def test_prefetch_preserves_stream(self, tiny_config):
+        """prefetch_batches must reproduce the source stream exactly
+        (deterministic training) and shut its producer down cleanly."""
+        from nanodecoder_tpu.train.data import prefetch_batches
+
+        direct = synthetic_batches(tiny_config, seed=0)
+        want = [next(direct) for _ in range(3)]
+        got_iter = prefetch_batches(synthetic_batches(tiny_config, seed=0), depth=2)
+        got = [next(got_iter) for _ in range(3)]
+        for w, g in zip(want, got):
+            for k in w:
+                assert np.array_equal(w[k], g[k]), k
+        got_iter.close()  # triggers the finally-stop path
+
+    def test_prefetch_finite_source(self, tiny_config):
+        from nanodecoder_tpu.train.data import prefetch_batches, synthetic_valid_batches
+
+        src = synthetic_valid_batches(tiny_config, n_batches=2)
+        out = list(prefetch_batches(iter(src), depth=1))
+        assert len(out) == 2
+
+    def test_interleave_batches_shapes(self, tiny_config):
+        from nanodecoder_tpu.train.data import interleave_batches
+
+        it = interleave_batches(tiny_config, seeds=(0, 1), depth=2)
+        b = next(it)
+        a, bs = tiny_config.train.accum_steps, tiny_config.train.batch_size
+        assert b["signal"].shape == (a, bs, tiny_config.signal.chunk_len)
+        it.close()
+
 
 class TestTrainStep:
     def test_loss_decreases(self, tiny_config):
