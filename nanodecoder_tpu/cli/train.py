@@ -89,9 +89,14 @@ def main(argv=None) -> int:
         trainer.state = ckpt.restore(trainer.state)
 
     if args.data:
+        from nanodecoder_tpu.train.data import prefetch_batches
         from nanodecoder_tpu.train.shards import shard_batches
 
-        train_iter = shard_batches(args.data, config)
+        if args.data_workers > 1:
+            log.warning("--data-workers=%d is ignored with --data (shard "
+                        "reading is single-producer); batches are still "
+                        "prefetched behind a queue", args.data_workers)
+        train_iter = prefetch_batches(shard_batches(args.data, config))
         valid_fn = None
     else:
         from nanodecoder_tpu.train.data import interleave_batches, prefetch_batches

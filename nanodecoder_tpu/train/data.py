@@ -193,28 +193,40 @@ def prefetch_batches(
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()
+    _SENTINEL = object()  # source exhausted cleanly
+
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer has stopped."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer() -> None:
+        # Source errors are enqueued and re-raised in the consumer —
+        # NOT converted into the exhaustion sentinel (a masked producer
+        # exception surfaces as a bare StopIteration in the train loop
+        # and skips the final checkpoint save).
         try:
             for batch in it:
-                while not stop.is_set():
-                    try:
-                        q.put(batch, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not _put(batch):
                     return
-        finally:
-            q.put(None)  # sentinel: source exhausted (or stopped)
+            _put(_SENTINEL)
+        except BaseException as e:  # noqa: BLE001 — relayed, not swallowed
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True, name="batch-prefetch")
     t.start()
     try:
         while True:
             batch = q.get()
-            if batch is None:
+            if batch is _SENTINEL:
                 return
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch
     finally:
         stop.set()
@@ -240,16 +252,27 @@ def interleave_batches(
     stop = threading.Event()
 
     def worker(seed: int) -> None:
-        src = synthetic_batches(config, spec=spec, seed=seed, accum_axis=accum_axis)
-        for batch in src:
+        # Worker exceptions are relayed through the queue; the generators
+        # are infinite, so a worker only exits on stop or error.
+        try:
+            src = synthetic_batches(config, spec=spec, seed=seed,
+                                    accum_axis=accum_axis)
+            for batch in src:
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # noqa: BLE001 — relayed, not swallowed
             while not stop.is_set():
                 try:
-                    q.put(batch, timeout=0.5)
-                    break
+                    q.put(e, timeout=0.5)
+                    return
                 except queue.Full:
                     continue
-            if stop.is_set():
-                return
 
     threads = [
         threading.Thread(target=worker, args=(s,), daemon=True, name=f"sim-{s}")
@@ -259,7 +282,18 @@ def interleave_batches(
         t.start()
     try:
         while True:
-            yield q.get()
+            try:
+                item = q.get(timeout=5.0)
+            except queue.Empty:
+                if not any(t.is_alive() for t in threads):
+                    raise RuntimeError(
+                        "all interleave_batches workers died without "
+                        "reporting an error"
+                    ) from None
+                continue
+            if isinstance(item, BaseException):
+                raise item
+            yield item
     finally:
         stop.set()
 

@@ -48,19 +48,27 @@ def make_train_step(config: Config, optimizer) -> Callable:
     ga_weight = config.train.guided_attention_weight
     ga_sigma = config.train.guided_attention_sigma
 
-    def micro_loss(params, mb, rng):
+    def micro_loss(params, mb, rng, inv_total_tokens, inv_accum):
+        """Micro-batch objective scaled so that SUMMING gradients over
+        micro-batches yields exactly the single-big-batch gradient:
+        NLL is token-summed / total tokens across ALL micro-batches
+        (not mean-of-means — micro-batches with unequal real-token
+        counts would be mis-weighted), guided attention is a row-mean
+        so dividing by the accum count reproduces the full-batch mean
+        (micro-batch row counts are equal by construction)."""
         mem, mem_len = encode(params, mcfg, mb["signal"], mb["sig_lengths"],
                               rng=rng, train=True)
         log_probs, attn = decode_teacher_forced(
             params, mcfg, mb["tgt_in"], mem, mem_len, rng=rng, train=True
         )
-        loss, metrics = loss_and_metrics(log_probs, mb["tgt_out"], smoothing)
+        _loss, metrics = loss_and_metrics(log_probs, mb["tgt_out"], smoothing)
+        loss = metrics["loss_sum"] * inv_total_tokens
         if ga_weight > 0.0 and attn is not None:
             from nanodecoder_tpu.train.loss import guided_attention_loss
             from nanodecoder_tpu.vocab import PAD_ID
 
             tgt_lengths = jnp.sum(mb["tgt_out"] != PAD_ID, axis=-1)
-            loss = loss + ga_weight * guided_attention_loss(
+            loss = loss + (ga_weight * inv_accum) * guided_attention_loss(
                 attn, tgt_lengths, mem_len, ga_sigma
             )
         return loss, metrics
@@ -70,11 +78,23 @@ def make_train_step(config: Config, optimizer) -> Callable:
     def train_step(state: TrainState, batch, rng):
         accum = batch["signal"].shape[0]
         rngs = jax.random.split(rng, accum)
+        # Token counts are pure data, so the TOTAL across micro-batches
+        # is known before the scan; baking 1/total into each micro
+        # objective makes the summed gradient equal the single-batch
+        # gradient with no post-hoc rescale.
+        from nanodecoder_tpu.vocab import PAD_ID
+
+        total_tokens = jnp.maximum(
+            jnp.sum(batch["tgt_out"] != PAD_ID), 1
+        ).astype(jnp.float32)
+        inv_total = 1.0 / total_tokens
+        inv_accum = jnp.float32(1.0 / accum)
 
         def scan_body(carry, xs):
             grads_acc, metrics_acc = carry
             mb, r = xs
-            (_loss, metrics), grads = grad_fn(state.params, mb, r)
+            (_loss, metrics), grads = grad_fn(state.params, mb, r,
+                                              inv_total, inv_accum)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             metrics_acc = jax.tree_util.tree_map(jnp.add, metrics_acc, metrics)
             return (grads_acc, metrics_acc), None
@@ -89,9 +109,6 @@ def make_train_step(config: Config, optimizer) -> Callable:
         (grads, metrics), _ = jax.lax.scan(
             scan_body, (zero_grads, zero_metrics), (batch, rngs)
         )
-        # Normalize summed grads by total tokens (token-summed loss was
-        # already divided per-microbatch; rescale to a true mean).
-        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics

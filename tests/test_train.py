@@ -116,6 +116,35 @@ class TestSimulator:
         assert b["signal"].shape == (a, bs, tiny_config.signal.chunk_len)
         it.close()
 
+    def test_prefetch_propagates_source_error(self, tiny_config):
+        """A producer exception must re-raise in the consumer, not be
+        masked as clean exhaustion (ADVICE r1: a masked error surfaced
+        as bare StopIteration and skipped the final checkpoint save)."""
+        from nanodecoder_tpu.train.data import prefetch_batches
+
+        def bad_source():
+            yield next(synthetic_batches(tiny_config, seed=0))
+            raise ValueError("simulated ingest failure")
+
+        it = prefetch_batches(bad_source(), depth=2)
+        next(it)  # first batch OK
+        with pytest.raises(ValueError, match="simulated ingest failure"):
+            next(it)
+
+    def test_interleave_propagates_worker_error(self, tiny_config, monkeypatch):
+        """A dead worker must fail the consumer instead of hanging the
+        blocking q.get() forever (ADVICE r1 liveness finding)."""
+        import nanodecoder_tpu.train.data as data_mod
+
+        def exploding(config, spec=None, seed=0, accum_axis=True):
+            raise RuntimeError("worker blew up")
+            yield  # pragma: no cover
+
+        monkeypatch.setattr(data_mod, "synthetic_batches", exploding)
+        it = data_mod.interleave_batches(tiny_config, seeds=(0,), depth=1)
+        with pytest.raises(RuntimeError, match="worker blew up"):
+            next(it)
+
 
 class TestTrainStep:
     def test_loss_decreases(self, tiny_config):
@@ -139,6 +168,53 @@ class TestTrainStep:
             state, metrics = step(state, batch, r)
             losses.append(float(metrics["xent_sum"]) / max(int(metrics["n_tokens"]), 1))
         assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.98, losses
+
+    def test_accum_matches_single_batch_gradient(self, tiny_config):
+        """Gradient accumulation over micro-batches with UNEQUAL real
+        token counts must equal the single-big-batch gradient (VERDICT
+        r1 item 8: mean-of-means mis-weighted unequal micro-batches)."""
+        cfg = dataclasses.replace(
+            tiny_config,
+            model=dataclasses.replace(tiny_config.model, dropout=0.0),
+            train=dataclasses.replace(
+                tiny_config.train, optimizer="sgd", lr_schedule="constant",
+                learning_rate=0.1, warmup_steps=1, grad_clip=0.0,
+                guided_attention_weight=0.0, accum_steps=2),
+        )
+        params = init_model(jax.random.PRNGKey(0), cfg.model)
+        it = synthetic_batches(cfg, seed=3, accum_axis=False)
+        mb1 = next(it)
+        mb2 = next(it)
+        # Make micro-batch 2's targets much shorter than micro-batch 1's
+        # so the real-token counts differ strongly.
+        for k in ("tgt_in", "tgt_out"):
+            mb2[k] = mb2[k].copy()
+            mb2[k][:, 4:] = PAD_ID
+        n1 = int((mb1["tgt_out"] != PAD_ID).sum())
+        n2 = int((mb2["tgt_out"] != PAD_ID).sum())
+        assert n1 != n2
+
+        accum_batch = {k: np.stack([mb1[k], mb2[k]]) for k in mb1}
+        big_batch = {k: np.concatenate([mb1[k], mb2[k]])[None] for k in mb1}
+
+        def run(config, batch):
+            optimizer, _ = build_optimizer(config.train, config.model.d_model)
+            state = TrainState(params, optimizer.init(params),
+                               jnp.zeros((), jnp.int32))
+            step = jax.jit(make_train_step(config, optimizer))
+            new_state, _ = step(state, batch, jax.random.PRNGKey(7))
+            return new_state.params
+
+        p_accum = run(cfg, accum_batch)
+        cfg_single = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, accum_steps=1,
+                                           batch_size=cfg.train.batch_size * 2))
+        p_single = run(cfg_single, big_batch)
+        flat_a = jax.tree_util.tree_leaves(p_accum)
+        flat_s = jax.tree_util.tree_leaves(p_single)
+        for a, s in zip(flat_a, flat_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(s),
+                                       rtol=2e-4, atol=2e-5)
 
 
 class TestEarlyStopping:
