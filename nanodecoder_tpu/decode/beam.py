@@ -48,6 +48,9 @@ class BeamResult(NamedTuple):
     lengths: jnp.ndarray  # (B, K) int32 — emitted tokens incl. EOS
     scores: jnp.ndarray   # (B, K) f32 — length-penalized log-prob
     finished: jnp.ndarray  # (B, K) bool — hypothesis ended with EOS
+    token_log_probs: jnp.ndarray  # (B, K, max_len) f32 — per-token lp
+    attn_pos: jnp.ndarray  # (B, K, max_len) int32 — per-token cross-attn
+    #                         argmax encoder position (alignment)
 
 
 def _gather_beams(x, idx):
@@ -55,33 +58,48 @@ def _gather_beams(x, idx):
     return jax.vmap(lambda row, i: row[i])(x, idx)
 
 
-def _backtrack(tok_hist, org_hist, eos_at, start_beam, emit_eos, tmax):
-    """Reconstruct sequences from backpointers.
+def _backtrack(tok_hist, org_hist, lp_hist, pos_hist, eos_at, start_beam,
+               emit_eos, fin_lp, fin_pos, tmax):
+    """Reconstruct sequences (+ per-token log-probs and attention
+    positions) from backpointers.
 
-    tok_hist/org_hist: (B, K, T) — token emitted by / origin of alive
+    tok_hist/org_hist/lp_hist/pos_hist: (B, K, T) — token emitted by /
+    origin of / chosen-token log-prob of / cross-attn position of alive
     beam j at step t.  For each output slot (B, S): `eos_at` is the
     position of the final token (EOS for finished hypotheses, one past
     the last token for alive fallbacks), `start_beam` the alive-beam
     index the path ends in, `emit_eos` whether position eos_at holds
-    EOS.  eos_at = -1 yields an all-PAD row.  Returns (B, S, T) int32.
+    EOS (whose log-prob / position are `fin_lp` / `fin_pos`, recorded
+    at finalization — EOS never enters the alive histories).
+    eos_at = -1 yields an all-PAD row.  Returns (tokens, lps, pos),
+    each (B, S, T).
     """
     b, s = eos_at.shape
 
     def step(cur, t):
         # cur: (B, S) alive-beam index valid for reading step t.
-        tok_t = tok_hist[:, :, t]                      # (B, K)
-        org_t = org_hist[:, :, t]
-        read = jnp.take_along_axis(tok_t, cur, axis=1)  # (B, S)
-        nxt = jnp.take_along_axis(org_t, cur, axis=1)
-        out = jnp.where(
-            (t == eos_at) & emit_eos, EOS_ID,
-            jnp.where(t < eos_at, read, PAD_ID),
-        ).astype(jnp.int32)
-        cur = jnp.where(t < eos_at, nxt, start_beam)
-        return cur, out
+        read = jnp.take_along_axis(tok_hist[:, :, t], cur, axis=1)  # (B, S)
+        nxt = jnp.take_along_axis(org_hist[:, :, t], cur, axis=1)
+        lp_read = jnp.take_along_axis(lp_hist[:, :, t], cur, axis=1)
+        pos_read = jnp.take_along_axis(pos_hist[:, :, t], cur, axis=1)
+        at_eos = (t == eos_at) & emit_eos
+        before = t < eos_at
+        out = jnp.where(at_eos, EOS_ID,
+                        jnp.where(before, read, PAD_ID)).astype(jnp.int32)
+        lp_out = jnp.where(at_eos, fin_lp,
+                           jnp.where(before, lp_read, 0.0)).astype(jnp.float32)
+        pos_out = jnp.where(at_eos, fin_pos,
+                            jnp.where(before, pos_read, 0)).astype(jnp.int32)
+        cur = jnp.where(before, nxt, start_beam)
+        return cur, (out, lp_out, pos_out)
 
-    _, cols = jax.lax.scan(step, start_beam, jnp.arange(tmax - 1, -1, -1))
-    return jnp.moveaxis(cols[::-1], 0, 2)  # (T,B,S) -> (B,S,T)
+    _, (cols, lp_cols, pos_cols) = jax.lax.scan(
+        step, start_beam, jnp.arange(tmax - 1, -1, -1))
+
+    def mv(a):
+        return jnp.moveaxis(a[::-1], 0, 2)  # (T,B,S) -> (B,S,T)
+
+    return mv(cols), mv(lp_cols), mv(pos_cols)
 
 
 def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
@@ -122,6 +140,14 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
         fin_step=jnp.full((b, k), -1, jnp.int32),   # position of EOS
         fin_origin=jnp.zeros((b, k), jnp.int32),    # parent alive beam at fin_step-1
         fin_flags=jnp.zeros((b, k), jnp.bool_),
+        fin_lp=jnp.zeros((b, k), jnp.float32),      # log-prob of the EOS token
+        fin_pos=jnp.zeros((b, k), jnp.int32),       # attn position of the EOS token
+        # Per-token log-prob / cross-attn position of the alive set
+        # (backpointer histories, like tok_hist — reconstructed by
+        # _backtrack so beam mode gets real Phred strings and the attn
+        # stitcher, same as greedy).
+        lp_hist=jnp.zeros((b, k, tmax), jnp.float32),
+        pos_hist=jnp.zeros((b, k, tmax), jnp.int32),
         cov=jnp.zeros((b, k, s if need_cov else 1), jnp.float32),
         t=jnp.zeros((), jnp.int32),
     )
@@ -141,11 +167,11 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     def body(c):
         t = c["t"]
         if need_cov:
-            log_probs, _attn, attn_probs, state = decode_step(
+            log_probs, step_attn, attn_probs, state = decode_step(
                 params, cfg, c["cur"], c["state"], return_attn=True
             )
         else:
-            log_probs, _attn, state = decode_step(params, cfg, c["cur"], c["state"])
+            log_probs, step_attn, state = decode_step(params, cfg, c["cur"], c["state"])
             attn_probs = None
         if dcfg.min_len > 0:
             # Reference parity (translate -min_length): EOS is not a
@@ -200,15 +226,30 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
             all_scores = jnp.concatenate([c["fin_scores"], new_fin_cand], axis=1)
             new_fin_scores, fin_idx = jax.lax.top_k(all_scores, k)  # idx in [0,3K)
 
+        # ---- per-candidate token log-prob + attention position ----
+        # lp of candidate (origin o, token w) is just lp[b, o, w] — a
+        # flat gather by top_ids, valid for both the fused-kernel and
+        # XLA paths (the kernel returns candidate *cum* scores only).
+        cand_lp = jnp.take_along_axis(lp.reshape(b, k * v), top_ids, axis=1)
+        attn_bk = step_attn.reshape(b, k)
+        cand_pos = jnp.take_along_axis(attn_bk, origin, axis=1)       # (B, 2K)
+
         # ---- new alive: best K non-EOS candidates — record
-        # backpointers only (token + origin), no sequence gathers ----
+        # backpointers only (token + origin + lp + pos), no sequence
+        # gathers ----
         alive_origin = jnp.take_along_axis(origin, alive_idx, axis=1)  # (B, K)
         alive_tok = jnp.take_along_axis(tok, alive_idx, axis=1)        # (B, K)
+        alive_lp = jnp.take_along_axis(cand_lp, alive_idx, axis=1)
+        alive_pos = jnp.take_along_axis(cand_pos, alive_idx, axis=1)
         new_cur = alive_tok.reshape(-1)
         tok_hist = jax.lax.dynamic_update_slice_in_dim(
             c["tok_hist"], alive_tok[:, :, None], t, axis=2)
         org_hist = jax.lax.dynamic_update_slice_in_dim(
             c["org_hist"], alive_origin[:, :, None], t, axis=2)
+        lp_hist = jax.lax.dynamic_update_slice_in_dim(
+            c["lp_hist"], alive_lp[:, :, None], t, axis=2)
+        pos_hist = jax.lax.dynamic_update_slice_in_dim(
+            c["pos_hist"], alive_pos[:, :, None], t, axis=2)
         new_cov = _gather_beams(cov_cand, alive_idx) if need_cov else c["cov"]
 
         # ---- reorder decoder state rows by beam origin ----
@@ -220,16 +261,22 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
             [c["fin_step"], jnp.full((b, 2 * k), t, jnp.int32)], axis=1)
         all_org = jnp.concatenate([c["fin_origin"], origin], axis=1)
         all_flags = jnp.concatenate([c["fin_flags"], is_eos], axis=1)
+        all_lp = jnp.concatenate([c["fin_lp"], cand_lp], axis=1)
+        all_pos = jnp.concatenate([c["fin_pos"], cand_pos], axis=1)
         return dict(
             state=state,
             cur=new_cur,
             alive_scores=new_alive_scores,
             tok_hist=tok_hist,
             org_hist=org_hist,
+            lp_hist=lp_hist,
+            pos_hist=pos_hist,
             fin_scores=new_fin_scores,
             fin_step=jnp.take_along_axis(all_step, fin_idx, axis=1),
             fin_origin=jnp.take_along_axis(all_org, fin_idx, axis=1),
             fin_flags=jnp.take_along_axis(all_flags, fin_idx, axis=1),
+            fin_lp=jnp.take_along_axis(all_lp, fin_idx, axis=1),
+            fin_pos=jnp.take_along_axis(all_pos, fin_idx, axis=1),
             cov=new_cov,
             t=t + 1,
         )
@@ -254,12 +301,16 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     start_beam = jnp.where(sel, beam_ids, out["fin_origin"])
     emit_eos = jnp.where(sel, False, out["fin_flags"])
 
-    tokens = _backtrack(out["tok_hist"], out["org_hist"], eos_at,
-                        start_beam, emit_eos, tmax)
+    tokens, token_lps, attn_pos = _backtrack(
+        out["tok_hist"], out["org_hist"], out["lp_hist"], out["pos_hist"],
+        eos_at, start_beam, emit_eos,
+        jnp.where(sel, 0.0, out["fin_lp"]),
+        jnp.where(sel, 0, out["fin_pos"]), tmax)
     fin_scores = jnp.where(sel, alive_pen_scores, out["fin_scores"])
     fin_lengths = jnp.where(
         sel, jnp.full((b, k), tmax, jnp.int32),
         jnp.where(out["fin_flags"], out["fin_step"] + 1, 0))
     fin_flags = jnp.where(sel, jnp.zeros((b, k), jnp.bool_), out["fin_flags"])
     return BeamResult(tokens=tokens, lengths=fin_lengths, scores=fin_scores,
-                      finished=fin_flags)
+                      finished=fin_flags, token_log_probs=token_lps,
+                      attn_pos=attn_pos)

@@ -57,10 +57,12 @@ class StreamingBasecaller:
         def beam_program(params, signal, lengths):
             memory, mem_len = encode(params, mcfg, signal, lengths)
             r = beam_decode(params, mcfg, dcfg, memory, mem_len)
-            per_tok = r.scores[:, 0] / jnp.maximum(r.lengths[:, 0].astype(jnp.float32), 1.0)
-            lps = jnp.broadcast_to(per_tok[:, None], r.tokens[:, 0].shape)
-            pos = jnp.zeros(r.tokens[:, 0].shape, jnp.int32)
-            return r.tokens[:, 0], r.lengths[:, 0], lps, pos
+            # Exact per-token lps + attn positions of the best hypothesis
+            # (backpointer reconstruction in decode/beam.py) — beam mode
+            # emits real Phred strings and supports the attn stitcher.
+            ds = mcfg.time_downsample
+            return (r.tokens[:, 0], r.lengths[:, 0], r.token_log_probs[:, 0],
+                    r.attn_pos[:, 0] * ds + ds // 2)
 
         def sample_program(params, signal, lengths, key):
             from nanodecoder_tpu.decode.sampling import sample_decode
@@ -152,19 +154,21 @@ class StreamingBasecaller:
                 seqs.append(seq_c)
                 quals.append(_phred_from_log_probs(lp_c))
                 positions.append(pos_c)
-            if stitch_method == "attn" and cfg.decode.mode in ("greedy", "sample"):
+            # Per-base qualities go through the same base selection as
+            # the sequence, so the FASTQ quality string is positionally
+            # exact (reference TranslationBuilder parity).
+            if stitch_method == "attn":
                 from nanodecoder_tpu.io.stitch import stitch_chunks_attn
 
-                seq = stitch_chunks_attn(seqs, positions, cb.starts, cb.lengths)
+                seq, qual = stitch_chunks_attn(seqs, positions, cb.starts,
+                                               cb.lengths, quals=quals)
             else:
-                seq = stitch_chunks(
+                seq, qual = stitch_chunks(
                     seqs, cb.starts, cb.lengths, cb.chunk_len, cb.chunk_overlap,
-                    method=stitch_method if stitch_method != "attn" else "trim",
+                    method=stitch_method, quals=quals,
                 )
-            qflat = np.concatenate(quals) if quals else np.zeros(0)
-            mean_q = float(qflat.mean()) if qflat.size else 0.0
             if write_format == "fastq":
-                write_fastq([(rc.read.read_id, seq, mean_q)], out)
+                write_fastq([(rc.read.read_id, seq, qual)], out)
             else:
                 write_fasta([(rc.read.read_id, seq)], out)
             if done_log is not None:

@@ -43,6 +43,9 @@ class Basecall:
     mean_qscore: float
     n_chunks: int
     n_samples: int
+    # Per-base Phred scores, positionally aligned with `sequence`
+    # (stitched through the same base selection as the string).
+    qualities: np.ndarray | None = None
 
 
 def _phred_from_log_probs(token_lps: np.ndarray) -> np.ndarray:
@@ -118,17 +121,17 @@ class Translator:
         dcfg = self.config.decode
         memory, mem_lengths = encode(params, cfg, signal, lengths)
         res = beam_decode(params, cfg, dcfg, memory, mem_lengths)
-        # Best hypothesis per chunk; mean per-token log-prob approximates
-        # per-base quality for beam mode (exact per-token lps are a
-        # greedy-mode feature).
+        # Best hypothesis per chunk, with exact per-token log-probs and
+        # attention positions reconstructed from the backpointer
+        # histories (decode/beam.py _backtrack) — beam mode emits real
+        # per-base Phred strings and supports the attn stitcher, same
+        # as greedy.
         best_tokens = res.tokens[:, 0, :]
         best_lengths = res.lengths[:, 0]
-        per_tok = res.scores[:, 0] / jnp.maximum(best_lengths.astype(jnp.float32), 1.0)
-        lp_matrix = jnp.broadcast_to(per_tok[:, None], best_tokens.shape)
-        # Beam search doesn't track per-hypothesis attention positions;
-        # the attn stitcher is a greedy-mode feature (zeros here).
-        pos = jnp.zeros(best_tokens.shape, jnp.int32)
-        return best_tokens, best_lengths, lp_matrix, res.scores[:, 0], pos
+        ds = cfg.time_downsample
+        sample_pos = res.attn_pos[:, 0] * ds + ds // 2
+        return (best_tokens, best_lengths, res.token_log_probs[:, 0],
+                res.scores[:, 0], sample_pos)
 
     # --- n-best (reference parity: Translator n_best output) -------------
 
@@ -194,27 +197,27 @@ class Translator:
             )
             seqs.append(seq_i)
             positions.append(pos_i)
-            if lp_i.size:
-                qs.append(_phred_from_log_probs(lp_i))
-        if stitch_method == "attn" and self.config.decode.mode in ("greedy", "sample"):
+            qs.append(_phred_from_log_probs(lp_i))
+        # Per-base qualities ride through the identical base selection
+        # as the sequence (reference TranslationBuilder parity).
+        if stitch_method == "attn":
             from nanodecoder_tpu.io.stitch import stitch_chunks_attn
 
-            seq = stitch_chunks_attn(seqs, positions, cb.starts, cb.lengths)
+            seq, qual = stitch_chunks_attn(seqs, positions, cb.starts,
+                                           cb.lengths, quals=qs)
         else:
-            if stitch_method == "attn":
-                stitch_method = "trim"  # beam mode: no positions tracked
-            seq = stitch_chunks(
+            seq, qual = stitch_chunks(
                 seqs, cb.starts, cb.lengths, scfg.chunk_len, scfg.chunk_overlap,
-                method=stitch_method,
+                method=stitch_method, quals=qs,
             )
-        # Mean qscore over emitted bases of all chunks.
-        mean_q = float(np.mean(np.concatenate(qs))) if qs else 0.0
+        mean_q = float(qual.mean()) if qual.size else 0.0
         return Basecall(
             read_id=read.read_id,
             sequence=seq,
             mean_qscore=mean_q,
             n_chunks=cb.n_chunks,
             n_samples=read.n_samples,
+            qualities=qual,
         )
 
     def basecall_reads(self, reads: Iterable[RawRead]) -> Iterator[Basecall]:

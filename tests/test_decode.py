@@ -62,7 +62,9 @@ def oracle_greedy(params, cfg, memory, mem_len, tmax):
 def oracle_beam(params, cfg, dcfg, memory, mem_len):
     """Slow per-chunk beam search with the alive/finished semantics:
     2K candidates, alive excludes EOS, finished keeps top-K penalized
-    (minus the coverage penalty when enabled)."""
+    (minus the coverage penalty when enabled).  Each result entry is
+    (score, seq, length, token_lps) — token_lps the per-step chosen
+    token log-prob along the hypothesis path (incl. the EOS slot)."""
     from nanodecoder_tpu.decode.penalties import coverage_penalty
 
     b = memory.shape[0]
@@ -75,13 +77,14 @@ def oracle_beam(params, cfg, dcfg, memory, mem_len):
         state = init_decode_state(params, cfg, mem_i, len_i)
         s = memory.shape[1]
         alive_seq = np.full((k, tmax), PAD_ID, np.int32)
+        alive_lps = np.zeros((k, tmax), np.float32)
         alive_scores = np.array([0.0] + [-1e9] * (k - 1), np.float32)
         alive_cov = np.zeros((k, s), np.float32)
-        fin = []  # list of (score, seq, length)
+        fin = []  # list of (score, seq, length, token_lps)
         cur = np.full((k,), BOS_ID, np.int32)
         max_pen = float(length_penalty(tmax, dcfg.length_penalty, dcfg.alpha))
         for t in range(tmax):
-            worst_fin = min([s_ for s_, _, _ in fin], default=-1e9) if len(fin) >= k else -1e9
+            worst_fin = min([f[0] for f in fin], default=-1e9) if len(fin) >= k else -1e9
             if len(fin) >= k and worst_fin >= alive_scores[0] / max_pen:
                 break
             if need_cov:
@@ -102,19 +105,22 @@ def oracle_beam(params, cfg, dcfg, memory, mem_len):
                 o, tok = divmod(int(idx), v)
                 seq = alive_seq[o].copy()
                 seq[t] = tok
+                lps = alive_lps[o].copy()
+                lps[t] = lp[o, tok]
                 if tok == EOS_ID:
                     cpen = float(np.asarray(coverage_penalty(
                         jnp.asarray(cov_step[o]), dcfg.coverage_penalty,
                         dcfg.beta))) if need_cov else 0.0
-                    fin.append((float(flat[idx]) / pen - cpen, seq, t + 1))
+                    fin.append((float(flat[idx]) / pen - cpen, seq, t + 1, lps))
                 elif len(new_alive) < k:
-                    new_alive.append((float(flat[idx]), seq, o, tok))
+                    new_alive.append((float(flat[idx]), seq, lps, o, tok))
             fin = sorted(fin, key=lambda x: -x[0])[:k]
-            alive_scores = np.array([s_ for s_, _, _, _ in new_alive], np.float32)
-            alive_seq = np.stack([s_ for _, s_, _, _ in new_alive])
-            origins = np.array([o for _, _, o, _ in new_alive])
+            alive_scores = np.array([s_ for s_, _, _, _, _ in new_alive], np.float32)
+            alive_seq = np.stack([s_ for _, s_, _, _, _ in new_alive])
+            alive_lps = np.stack([l_ for _, _, l_, _, _ in new_alive])
+            origins = np.array([o for _, _, _, o, _ in new_alive])
             alive_cov = cov_step[origins]
-            cur = np.array([tk for _, _, _, tk in new_alive], np.int32)
+            cur = np.array([tk for _, _, _, _, tk in new_alive], np.int32)
             state = jax.tree_util.tree_map(
                 lambda x: x if x.ndim == 0 else x[jnp.asarray(origins)], state
             )
@@ -123,7 +129,7 @@ def oracle_beam(params, cfg, dcfg, memory, mem_len):
                                                 dcfg.coverage_penalty, dcfg.beta))
                     if need_cov else np.zeros((k,), np.float32))
             fin = [(float(alive_scores[j]) / max_pen - float(covp[j]),
-                    alive_seq[j], tmax) for j in range(k)]
+                    alive_seq[j], tmax, alive_lps[j]) for j in range(k)]
             fin = sorted(fin, key=lambda x: -x[0])[:k]
         results.append(fin)
     return results
@@ -160,10 +166,21 @@ def test_beam_matches_oracle(setup, penalty, alpha, cov, beta):
     for bi in range(memory.shape[0]):
         got_scores = np.asarray(res.scores[bi])
         want = oracle[bi]
-        # Compare the best hypothesis exactly (score, length, tokens).
+        # Compare the best hypothesis exactly (score, length, tokens,
+        # per-token log-probs).
         assert abs(got_scores[0] - want[0][0]) < 1e-4, (got_scores, [w[0] for w in want])
         assert int(res.lengths[bi, 0]) == want[0][2]
         np.testing.assert_array_equal(np.asarray(res.tokens[bi, 0]), want[0][1])
+        np.testing.assert_allclose(
+            np.asarray(res.token_log_probs[bi, 0]), want[0][3], atol=1e-4)
+        # The per-token lps must sum to the unpenalized cumulative score.
+        n = want[0][2]
+        if int(res.finished[bi, 0]):
+            pen = float(length_penalty(n, dcfg.length_penalty, dcfg.alpha))
+            if cov == "none":
+                np.testing.assert_allclose(
+                    np.asarray(res.token_log_probs[bi, 0]).sum(),
+                    got_scores[0] * pen, atol=1e-3)
 
 
 def test_beam_scores_sorted(setup):

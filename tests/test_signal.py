@@ -114,6 +114,39 @@ class TestStitch:
         out = stitch_chunks(seqs, starts, lengths, 100, 0, method="trim")
         assert out == "AAAACCCCGGGG"
 
+    @pytest.mark.parametrize("method", ["trim", "align"])
+    def test_quals_ride_base_selection(self, method, rng_np):
+        """With quals=, stitch returns (seq, qual) where qual[j] is the
+        quality of the chunk base that produced seq[j] — verified by
+        encoding each base's identity into its quality value."""
+        seq = "".join(rng_np.choice(list("ACGT"), size=1200))
+        seqs, cb = self._fake_calls(seq, chunk_len=512, overlap=128,
+                                    bases_per_sample=0.25)
+        code = {"A": 10.0, "C": 20.0, "G": 30.0, "T": 40.0}
+        quals = [np.array([code[c] for c in s], np.float32) for s in seqs]
+        out, qual = stitch_chunks(seqs, cb.starts, cb.lengths, 512, 128,
+                                  method=method, quals=quals)
+        assert len(out) == qual.shape[0]
+        assert all(code[c] == q for c, q in zip(out, qual))
+        # No-quals call is unchanged (plain string, same content).
+        out2 = stitch_chunks(seqs, cb.starts, cb.lengths, 512, 128, method=method)
+        assert out2 == out
+
+    def test_attn_quals_ride_base_selection(self):
+        from nanodecoder_tpu.io.stitch import stitch_chunks_attn
+
+        starts = np.array([0, 400])
+        lengths = np.array([500, 500])
+        seqs = ["ACGTACGTA", "GTACGTACG"]
+        pos0 = np.arange(50, 500, 50)
+        pos1 = np.arange(10, 500, 50)
+        code = {"A": 10.0, "C": 20.0, "G": 30.0, "T": 40.0}
+        quals = [np.array([code[c] for c in s], np.float32) for s in seqs]
+        out, qual = stitch_chunks_attn(seqs, [pos0, pos1], starts, lengths,
+                                       quals=quals)
+        assert len(out) == qual.shape[0]
+        assert all(code[c] == q for c, q in zip(out, qual))
+
 
 class TestAttnStitch:
     def test_positions_partition_exactly(self):
