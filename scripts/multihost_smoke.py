@@ -60,9 +60,17 @@ if pid == 0:
 """
 
 
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    port = 19765
+    port = _free_port()
     workdir = tempfile.mkdtemp(prefix="mh_smoke_")
     # Build 4 fast5 files x ~1-2 reads = 6 reads total.
     import h5py
