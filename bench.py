@@ -99,14 +99,15 @@ def main() -> None:
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from nanodecoder_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
 
     import numpy as np
 

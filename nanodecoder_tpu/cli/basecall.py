@@ -80,6 +80,10 @@ def main(argv=None) -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from nanodecoder_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from nanodecoder_tpu.cli.common import load_params_and_config
     from nanodecoder_tpu.decode.engine import StreamingBasecaller
     from nanodecoder_tpu.io.fast5 import list_signal_files

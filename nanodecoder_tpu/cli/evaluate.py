@@ -80,6 +80,10 @@ def main(argv=None) -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from nanodecoder_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from nanodecoder_tpu.native import read_identity
     from nanodecoder_tpu.utils.logging import get_logger
 

@@ -48,6 +48,10 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    from nanodecoder_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
     import jax.numpy as jnp
 
     from nanodecoder_tpu.config import Config
