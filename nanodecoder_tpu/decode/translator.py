@@ -158,10 +158,16 @@ class Translator:
 
     def decode_chunk_batch(self, chunks: np.ndarray, lengths: np.ndarray):
         """chunks: (N, chunk_len) -> (tokens, tok_lengths, token_lps,
-        scores, attn_sample_pos) as numpy, with padding rows stripped."""
+        scores, attn_sample_pos) as numpy, with padding rows stripped.
+
+        All device batches are dispatched before any result is pulled
+        back: JAX dispatch is async, so batch i+1 computes while batch
+        i transfers — no device round-trip per batch (the reference's
+        per-step sync cost, paid per *batch*, removed here too).
+        """
         bsz = self.config.decode.batch_chunks
         n = chunks.shape[0]
-        outs: list[list[np.ndarray]] = [[], [], [], [], []]
+        in_flight: list[tuple[int, tuple]] = []
         for i in range(0, n, bsz):
             batch = chunks[i : i + bsz]
             blen = lengths[i : i + bsz]
@@ -171,7 +177,11 @@ class Translator:
                     [batch, np.zeros((bsz - real, batch.shape[1]), batch.dtype)]
                 )
                 blen = np.concatenate([blen, np.zeros((bsz - real,), blen.dtype)])
-            results = self._decode_jit(jnp.asarray(batch), jnp.asarray(blen))
+            in_flight.append(
+                (real, self._decode_jit(jnp.asarray(batch), jnp.asarray(blen)))
+            )
+        outs: list[list[np.ndarray]] = [[], [], [], [], []]
+        for real, results in in_flight:
             for acc, r in zip(outs, results):
                 acc.append(np.asarray(r[:real]))
         return tuple(np.concatenate(acc) for acc in outs)
