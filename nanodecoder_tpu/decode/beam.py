@@ -123,6 +123,17 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     # coverage_summary applied at hypothesis finalization).
     need_cov = dcfg.coverage_penalty != "none" and dcfg.beta != 0.0
     use_fused = dcfg.use_pallas and not need_cov
+    if need_cov and dcfg.use_pallas:
+        # Trace-time warning (fires once per compile): this is a real
+        # perf cliff — the fused advance kernel AND the Pallas decode
+        # attention are both off because coverage needs materialized
+        # attention probabilities.
+        from nanodecoder_tpu.utils.logging import get_logger
+
+        get_logger("beam").warning(
+            "coverage_penalty=%r disables the fused beam kernel and Pallas "
+            "attention (needs materialized attention probs) — expect a "
+            "slower decode", dcfg.coverage_penalty)
 
     init = dict(
         state=state0,
