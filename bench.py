@@ -40,7 +40,7 @@ def _bench_engine(args, config, params) -> None:
     levels = spec.level_table()
     rng = np.random.default_rng(0)
     tmp = tempfile.mkdtemp(prefix="bench_fast5_")
-    n_files, reads_per_file = 4, 8
+    n_files, reads_per_file = args.files, args.reads_per_file
     files = []
     for fi in range(n_files):
         path = os.path.join(tmp, f"r{fi}.fast5")
@@ -58,10 +58,17 @@ def _bench_engine(args, config, params) -> None:
     caller.run(files[:1], _io.StringIO())
     meter = ThroughputMeter(n_reads=0)
     out = _io.StringIO()
-    meter2 = caller.run(files, out, meter=meter)
+    timer = None
+    if args.stage_times:
+        from nanodecoder_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
+    meter2 = caller.run(files, out, meter=meter, stage_timer=timer)
     rates = meter2.rates()
     print(f"# engine: {meter2.n_reads} reads, {meter2.n_chunks} chunks, "
           f"{rates['reads_per_sec']:.2f} reads/s", file=sys.stderr)
+    if timer is not None:
+        print(f"# stage times: {timer.summary()}", file=sys.stderr)
     print(json.dumps({
         "metric": "streaming_basecall_samples_per_sec_per_chip",
         "value": round(rates["ksamples_per_sec"], 2),
@@ -95,6 +102,12 @@ def main() -> None:
                     help="benchmark the full streaming path (ingest+decode+"
                          "stitch over generated fast5 files) instead of raw "
                          "device decode (BASELINE config C4)")
+    ap.add_argument("--files", type=int, default=4,
+                    help="engine mode: synthetic fast5 files to generate")
+    ap.add_argument("--reads-per-file", type=int, default=8,
+                    help="engine mode: reads per synthetic fast5 file")
+    ap.add_argument("--stage-times", action="store_true",
+                    help="engine mode: print per-stage wall-time breakdown")
     args = ap.parse_args()
 
     if args.cpu:
