@@ -11,11 +11,21 @@ from __future__ import annotations
 import os
 from typing import Iterable, TextIO
 
+import numpy as np
+
 
 def _phred_char(q: float) -> str:
     """Mean per-base quality -> Phred+33 char, clamped to [0, 93]."""
     qi = int(round(q))
     return chr(33 + max(0, min(qi, 93)))
+
+
+def _phred_string(quals) -> str:
+    """Per-base Phred scores -> Phred+33 string (vectorized — this is
+    host hot-path work, once per read in the streaming engine)."""
+    q = np.asarray(quals, np.float32)
+    codes = (33 + np.clip(np.rint(q), 0, 93)).astype(np.uint8)
+    return codes.tobytes().decode("ascii")
 
 
 def write_fasta(records: Iterable[tuple[str, str]], out: TextIO, width: int = 0) -> int:
@@ -42,7 +52,7 @@ def write_fastq(records: Iterable[tuple[str, str, object]], out: TextIO) -> int:
         elif isinstance(qual, (int, float)):
             qstr = _phred_char(float(qual)) * len(seq)
         else:
-            qstr = "".join(_phred_char(float(q)) for q in qual)
+            qstr = _phred_string(qual)
             if len(qstr) < len(seq):  # pad if decode emitted fewer scores
                 qstr = qstr + qstr[-1:] * (len(seq) - len(qstr)) if qstr else _phred_char(20.0) * len(seq)
             qstr = qstr[: len(seq)]

@@ -62,6 +62,13 @@ class Vocab:
     def stoi(self) -> dict[str, int]:
         return {s: i for i, s in enumerate(self.itos)}
 
+    @functools.cached_property
+    def _base_lens(self) -> np.ndarray:
+        """Bases emitted per token id (0 for specials)."""
+        return np.asarray(
+            [0 if s in _SPECIALS else len(s) for s in self.itos], np.int64
+        )
+
     def encode(self, seq: str, add_bos: bool = False, add_eos: bool = False) -> np.ndarray:
         """Base string -> int32 ids.
 
@@ -110,23 +117,22 @@ class Vocab:
         contribute zero bases).
         """
         flat_ids = np.asarray(ids).reshape(-1)
-        flat_streams = [np.asarray(s).reshape(-1) for s in streams]
-        seq_parts: list[str] = []
-        outs: list[list] = [[] for _ in streams]
-        for row, i in enumerate(flat_ids):
-            i = int(i)
-            if i == EOS_ID:
-                break
-            if i in (PAD_ID, BOS_ID, UNK_ID):
-                continue
-            tok = self.itos[i]
-            seq_parts.append(tok)
-            for acc, s in zip(outs, flat_streams):
-                acc.extend([s[row]] * len(tok))
+        eos = np.flatnonzero(flat_ids == EOS_ID)
+        if eos.size:
+            flat_ids = flat_ids[: eos[0]]
+        lens = self._base_lens[flat_ids]
+        keep = np.flatnonzero(lens > 0)  # drops PAD/BOS/UNK (0 bases)
+        kept_ids = flat_ids[keep]
+        kept_lens = lens[keep]
+        itos = self.itos
+        seq = "".join(itos[i] for i in kept_ids)
+        # Per-token streams expand per base via np.repeat (host hot
+        # path: runs once per chunk in the streaming engine).
         expanded = tuple(
-            np.asarray(acc, dtype=s.dtype) for acc, s in zip(outs, flat_streams)
+            np.repeat(np.asarray(s).reshape(-1)[: flat_ids.shape[0]][keep], kept_lens)
+            for s in streams
         )
-        return ("".join(seq_parts),) + expanded
+        return (seq,) + expanded
 
 
 @functools.lru_cache(maxsize=None)
