@@ -53,7 +53,7 @@ def _bench_engine(args, config, params) -> None:
                 raw.create_dataset("Signal", data=(sig * 1000).astype(np.int16))
         files.append(path)
 
-    caller = StreamingBasecaller(params, config)
+    caller = StreamingBasecaller(params, config, depth=args.depth)
     # Warmup pass (compile) on one file.
     caller.run(files[:1], _io.StringIO())
     meter = ThroughputMeter(n_reads=0)
@@ -88,7 +88,8 @@ def main() -> None:
                          "i.e. per-batch latency mode)")
     ap.add_argument("--batch", type=int, default=0,
                     help="chunks per device batch (default: measured v5e "
-                         "sweet spots — 128 greedy, 16 beam; BASELINE C2's "
+                         "sweet spots — 256 greedy (8605 ks/s vs 6818 at "
+                         "128, flat at 512), 16 beam; BASELINE C2's "
                          "nominal shape is 32)")
     ap.add_argument("--f32", action="store_true",
                     help="decode in float32 parity mode (default: bfloat16 "
@@ -167,7 +168,7 @@ def main() -> None:
             config,
             model=dataclasses.replace(config.model, compute_dtype="bfloat16"),
         )
-    batch = args.batch or (16 if args.beam else 128)
+    batch = args.batch or (16 if args.beam else 256)
     config = dataclasses.replace(
         config, decode=dataclasses.replace(config.decode, batch_chunks=batch)
     )

@@ -110,10 +110,17 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     v = cfg.vocab_size
     tmax = cfg.max_decode_len
 
-    # Tile encoder outputs beam-wise: row b*K + j is beam j of chunk b.
-    mem_t = jnp.repeat(memory, k, axis=0)
-    len_t = jnp.repeat(mem_lengths, k, axis=0)
-    state0 = init_decode_state(params, cfg, mem_t, len_t)
+    # Decode rows: row b*K + j is beam j of chunk b.  Transformer path:
+    # cross K/V stay per-chunk (beam-invariant) and the grouped
+    # attention kernel serves all K beams from one cache read per step
+    # (1/K the dominant HBM traffic).  RNN path: tile the memory
+    # beam-wise as the reference does.
+    if cfg.decoder_type == "transformer":
+        state0 = init_decode_state(params, cfg, memory, mem_lengths, beam_k=k)
+    else:
+        mem_t = jnp.repeat(memory, k, axis=0)
+        len_t = jnp.repeat(mem_lengths, k, axis=0)
+        state0 = init_decode_state(params, cfg, mem_t, len_t)
     s = memory.shape[1]
 
     # Coverage penalty needs per-hypothesis accumulated cross-attention

@@ -85,10 +85,18 @@ def transformer_decoder_forced(p, cfg: ModelConfig, y, memory, mem_lengths,
 
 
 def init_transformer_cache(p, cfg: ModelConfig, memory, mem_lengths, batch: int,
-                           dtype) -> dict[str, Any]:
+                           dtype, beam_k: int = 1) -> dict[str, Any]:
     """Build the fixed-shape decode state: precompute cross K/V per layer
     (memory projections happen once per chunk batch, not once per token)
-    and allocate zeroed self-attention caches of length max_decode_len."""
+    and allocate zeroed self-attention caches of length max_decode_len.
+
+    beam_k > 1: `memory` is the UNtiled (B, S, D) chunk batch and the
+    decode rows are (B*beam_k) beams in chunk-major order.  Only the
+    path-dependent self caches are allocated per beam; cross K/V and
+    masks stay per-chunk — they are beam-invariant, so the grouped
+    attention kernel streams each chunk's cache from HBM once per step
+    for all K beams (1/K the cross traffic, the beam decode's dominant
+    HBM cost — docs/PERF.md roofline)."""
     tmax = cfg.max_decode_len
     h, dh = cfg.dec_heads, cfg.d_model // cfg.dec_heads
     layers = []
@@ -96,8 +104,8 @@ def init_transformer_cache(p, cfg: ModelConfig, memory, mem_lengths, batch: int,
         ck, cv = nn.mha_project_kv(layer["cross_attn"], cfg.dec_heads, memory)
         layers.append(
             {
-                "self_k": jnp.zeros((batch, tmax, h, dh), dtype),
-                "self_v": jnp.zeros((batch, tmax, h, dh), dtype),
+                "self_k": jnp.zeros((batch * beam_k, tmax, h, dh), dtype),
+                "self_v": jnp.zeros((batch * beam_k, tmax, h, dh), dtype),
                 "cross_k": ck,
                 "cross_v": cv,
             }
@@ -115,21 +123,38 @@ def _attn_step(attn_params, n_heads, h, k_cache, v_cache, mask4d, valid_lens,
                use_pallas: bool):
     """One-token attention against a cached K/V — either the fused
     Pallas kernel (TPU hot path) or the jnp path.  k_cache/v_cache:
-    (B, T, H, Dh); h: (B, 1, D).  Returns (out, probs_or_None,
-    argmax_or_None): the Pallas kernel never materializes probs but
-    emits the head-mean argmax position directly."""
+    (B, T, H, Dh); h: (Brows, 1, D) where Brows is B or B*group — when
+    Brows > B, `group` consecutive rows (the beams of one chunk) share
+    cache row Brows//B (beam-grouped cross attention).  Returns (out,
+    probs_or_None, argmax_or_None): the Pallas kernel never
+    materializes probs but emits the head-mean argmax position
+    directly."""
+    b, t, nh, dh = k_cache.shape
+    group = h.shape[0] // b
     if use_pallas:
-        from nanodecoder_tpu.ops.attention import decode_attention
+        from nanodecoder_tpu.ops.attention import (decode_attention,
+                                                   decode_attention_grouped)
 
-        b, t, nh, dh = k_cache.shape
         d = nh * dh
-        q = nn.dense(attn_params["q"], h)[:, 0, :]  # (B, D)
-        ctx, amax = decode_attention(
-            q, k_cache.reshape(b, t, d), v_cache.reshape(b, t, d),
-            valid_lens, n_heads,
-            interpret=jax.default_backend() != "tpu",
-        )
+        q = nn.dense(attn_params["q"], h)[:, 0, :]  # (Brows, D)
+        interp = jax.default_backend() != "tpu"
+        if group > 1:
+            ctx, amax = decode_attention_grouped(
+                q, k_cache.reshape(b, t, d), v_cache.reshape(b, t, d),
+                valid_lens, n_heads, group, interpret=interp,
+            )
+        else:
+            ctx, amax = decode_attention(
+                q, k_cache.reshape(b, t, d), v_cache.reshape(b, t, d),
+                valid_lens, n_heads, interpret=interp,
+            )
         return nn.dense(attn_params["o"], ctx[:, None, :]), None, amax
+    if group > 1:
+        # XLA fallback (CPU / coverage path): tile the beam-invariant
+        # caches on the fly — correct but without the traffic win.
+        k_cache = jnp.repeat(k_cache, group, axis=0)
+        v_cache = jnp.repeat(v_cache, group, axis=0)
+        mask4d = jnp.repeat(mask4d, group, axis=0)
     a, probs = nn.mha_step(attn_params, n_heads, h, k_cache, v_cache, mask4d)
     return a, probs, None
 

@@ -109,13 +109,19 @@ def decode_teacher_forced(params, cfg: ModelConfig, tgt_in, memory, mem_lengths,
 # incremental decode
 
 
-def init_decode_state(params, cfg: ModelConfig, memory, mem_lengths):
+def init_decode_state(params, cfg: ModelConfig, memory, mem_lengths,
+                      beam_k: int = 1):
+    """beam_k > 1 (transformer only): memory is the UNtiled chunk batch;
+    decode rows are (B*beam_k) chunk-major beams sharing per-chunk cross
+    K/V (beam-grouped attention — 1/beam_k the cross-cache traffic)."""
     batch = memory.shape[0]
     dtype = memory.dtype
     if cfg.decoder_type == "transformer":
         return dec.init_transformer_cache(
-            params["decoder"], cfg, memory, mem_lengths, batch, dtype
+            params["decoder"], cfg, memory, mem_lengths, batch, dtype,
+            beam_k=beam_k,
         )
+    assert beam_k == 1, "beam-grouped decode state is transformer-only"
     return dec.init_rnn_state(cfg, memory, mem_lengths, batch, dtype)
 
 

@@ -103,6 +103,114 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, amax_ref, *,
         o_ref[r, :] = out.astype(o_ref.dtype)
 
 
+def decode_attention_grouped_reference(q, k_cache, v_cache, valid_lens,
+                                       n_heads: int, group: int):
+    """Reference semantics for beam-grouped decode attention.
+
+    q: (B*group, D) — `group` consecutive rows (the beams of one chunk)
+    share the SAME cache row.  k_cache/v_cache: (B, T, D);
+    valid_lens: (B,).  Equivalent to tiling the caches `group`-wise and
+    calling decode_attention_reference.
+    """
+    b = k_cache.shape[0]
+    k_t = jnp.repeat(k_cache, group, axis=0)
+    v_t = jnp.repeat(v_cache, group, axis=0)
+    len_t = jnp.repeat(valid_lens, group, axis=0)
+    return decode_attention_reference(q, k_t, v_t, len_t, n_heads)
+
+
+def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, amax_ref,
+                                *, n_heads: int, group: int):
+    """One grid step = one chunk: its (T, D) K/V stream HBM->VMEM ONCE
+    and all `group` beam queries attend against them — cross-cache
+    traffic divided by the beam width (the caches are beam-invariant).
+
+    All beams' + heads' scores come from ONE (T,D)x(D,G*H) MXU matmul:
+    column j of the block-sparse query matrix holds beam j//H's query
+    restricted to head j%H's lanes.
+    """
+    t, d = k_ref.shape[1], k_ref.shape[2]
+    dh = d // n_heads
+    gh = group * n_heads
+    scale = 1.0 / math.sqrt(dh)
+    blk = pl.program_id(0)
+
+    valid = len_ref[blk]
+    q = q_ref[0].astype(jnp.float32)                      # (G, D)
+    k = k_ref[0].astype(jnp.float32)                      # (T, D)
+    v = v_ref[0].astype(jnp.float32)                      # (T, D)
+
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (d, gh), 0)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (d, gh), 1)
+    # qmat[i, j] = q[j // H, i] when i's head == j's head else 0.
+    qsel = jnp.take_along_axis(q.T, j_ids // n_heads, axis=1)  # (D, GH): q[j//H, i]
+    qmat = jnp.where(i_ids // dh == j_ids % n_heads, qsel, 0.0)
+
+    scores = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # (T, GH)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (t, gh), 0)
+    scores = jnp.where(t_ids < valid, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=0, keepdims=True)            # (1, GH)
+    p = jnp.exp(scores - m)
+    z = jnp.sum(p, axis=0, keepdims=True)
+    p = p / z                                             # (T, GH)
+
+    # Head-mean argmax per beam (ties -> lowest position).
+    pg = p.reshape(t, group, n_heads)
+    pmean = jnp.sum(pg, axis=2)                           # (T, G)
+    pm_max = jnp.max(pmean, axis=0, keepdims=True)
+    is_max = pmean >= pm_max
+    tg_ids = jax.lax.broadcasted_iota(jnp.int32, (t, group), 0)
+    amax_ref[0, :] = jnp.min(jnp.where(is_max, tg_ids, 2 ** 30), axis=0)
+
+    # Weighted sums for all beams+heads in ONE MXU matmul, then each
+    # output lane selects its own (beam, head) row.
+    oh = jnp.dot(p.T, v, preferred_element_type=jnp.float32)   # (GH, D)
+    lane_h = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d), 1) // dh
+    h_row = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d), 0)
+    memb = (h_row == lane_h).astype(jnp.float32)               # (H, D)
+    out = jnp.sum(oh.reshape(group, n_heads, d) * memb[None], axis=1)  # (G, D)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "group", "interpret"))
+def decode_attention_grouped(q, k_cache, v_cache, valid_lens, n_heads: int,
+                             group: int, interpret: bool = False):
+    """Beam-grouped fused one-token MHA: rows g*group..(g+1)*group-1 of
+    `q` attend against cache row g.  See
+    decode_attention_grouped_reference for semantics.  Returns
+    ((B*group, D) out, (B*group,) argmax positions)."""
+    b, t, d = k_cache.shape
+    qg = q.reshape(b, group, d)
+    out, amax = pl.pallas_call(
+        functools.partial(_decode_attn_grouped_kernel, n_heads=n_heads,
+                          group=group),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B,) valid_lens
+            pl.BlockSpec((1, group, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, group, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, group, d), q.dtype),
+            jax.ShapeDtypeStruct((b, group), jnp.int32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * d * 2 * group,
+            bytes_accessed=b * t * d * 2 * k_cache.dtype.itemsize
+            + b * group * d * 2,
+            transcendentals=b * t * group * n_heads,
+        ),
+    )(valid_lens.astype(jnp.int32), qg, k_cache, v_cache)
+    return out.reshape(b * group, d), amax.reshape(b * group)
+
+
 @functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
 def decode_attention(q, k_cache, v_cache, valid_lens, n_heads: int,
                      interpret: bool = False):

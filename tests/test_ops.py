@@ -25,6 +25,48 @@ def test_decode_attention_matches_reference(dtype, b, t, heads, dh, rng_np):
     )
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("b,t,heads,dh,group", [(3, 64, 4, 32, 5), (2, 40, 2, 16, 3)])
+def test_decode_attention_grouped_matches_reference(dtype, b, t, heads, dh,
+                                                    group, rng_np):
+    from nanodecoder_tpu.ops.attention import (
+        decode_attention_grouped, decode_attention_grouped_reference)
+
+    d = heads * dh
+    q = jnp.asarray(rng_np.normal(size=(b * group, d)), dtype)
+    k = jnp.asarray(rng_np.normal(size=(b, t, d)), dtype)
+    v = jnp.asarray(rng_np.normal(size=(b, t, d)), dtype)
+    valid = jnp.asarray(rng_np.integers(1, t + 1, size=(b,)), jnp.int32)
+    ref = decode_attention_grouped_reference(q, k, v, valid, heads, group)
+    got, amax = decode_attention_grouped(q, k, v, valid, heads, group,
+                                         interpret=True)
+    atol = 1e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=atol,
+        rtol=1e-2)
+
+
+def test_decode_attention_grouped_matches_ungrouped(rng_np):
+    """group-tiled caches through the per-row kernel == grouped kernel
+    (same math, 1/group the cache traffic); argmax positions included."""
+    from nanodecoder_tpu.ops.attention import decode_attention_grouped
+
+    b, t, heads, dh, group = 2, 32, 4, 16, 5
+    d = heads * dh
+    q = jnp.asarray(rng_np.normal(size=(b * group, d)), jnp.float32)
+    k = jnp.asarray(rng_np.normal(size=(b, t, d)), jnp.float32)
+    v = jnp.asarray(rng_np.normal(size=(b, t, d)), jnp.float32)
+    valid = jnp.array([t, 11], jnp.int32)
+    out_g, amax_g = decode_attention_grouped(q, k, v, valid, heads, group,
+                                             interpret=True)
+    k_t = jnp.repeat(k, group, axis=0)
+    v_t = jnp.repeat(v, group, axis=0)
+    len_t = jnp.repeat(valid, group, axis=0)
+    out_u, amax_u = decode_attention(q, k_t, v_t, len_t, heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_u), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(amax_g), np.asarray(amax_u))
+
+
 def test_decode_attention_respects_valid_len(rng_np):
     """Positions >= valid must not influence the output."""
     b, t, heads, dh = 2, 32, 2, 16
