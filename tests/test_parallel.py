@@ -50,6 +50,37 @@ def test_sharded_decode_matches_single_device(plan, tiny_config, tiny_params, rn
     np.testing.assert_array_equal(np.asarray(single[1]), np.asarray(sharded[1]))
 
 
+def test_sharded_beam_decode_matches_single_device(plan, tiny_config,
+                                                   tiny_params, rng_np):
+    """Beam decode (grouped per-chunk cross caches) sharded over the
+    8-device mesh == unsharded — the (B, S, D) cross caches and the
+    (B*K,) beam rows must co-shard on `data` under pjit."""
+    from nanodecoder_tpu.decode.beam import beam_decode
+
+    cfg = tiny_config.model
+    dcfg = dataclasses.replace(tiny_config.decode, mode="beam", beam_size=3,
+                               length_penalty="avg")
+
+    def program(params, signal, lengths):
+        memory, mem_len = encode(params, cfg, signal, lengths)
+        r = beam_decode(params, cfg, dcfg, memory, mem_len)
+        return r.tokens[:, 0], r.lengths[:, 0], r.token_log_probs[:, 0]
+
+    b = 16
+    signal = jnp.asarray(rng_np.normal(size=(b, 256)).astype(np.float32))
+    lengths = jnp.full((b,), 256, jnp.int32)
+
+    single = jax.jit(program)(tiny_params, signal, lengths)
+    params_r = plan.replicate(tiny_params)
+    batch = plan.shard_batch({"signal": signal, "lengths": lengths})
+    sharded = plan.shard_decode_fn(program)(params_r, batch["signal"],
+                                            batch["lengths"])
+    np.testing.assert_array_equal(np.asarray(single[0]), np.asarray(sharded[0]))
+    np.testing.assert_array_equal(np.asarray(single[1]), np.asarray(sharded[1]))
+    np.testing.assert_allclose(np.asarray(single[2]), np.asarray(sharded[2]),
+                               atol=1e-5)
+
+
 def test_dp_train_step_matches_single_device(plan, tiny_config):
     """One DP train step over the 8-device mesh must produce the same
     params as the same step on one device (psum == serial sum)."""
