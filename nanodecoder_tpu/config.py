@@ -68,6 +68,12 @@ class ModelConfig:
     param_dtype: str = "float32"        # master params
     compute_dtype: str = "bfloat16"     # activations on TPU ("float32" = parity mode, SURVEY §7 R2)
     use_pallas: bool = False            # Pallas decode-attention kernel (TPU hot path)
+    # int8 cross-K/V decode caches (per-lane symmetric scales folded
+    # exactly into the query matrix / output — only the HBM *storage*
+    # is quantized).  The decode loop is bandwidth-bound on cross-cache
+    # reads (docs/PERF.md roofline); int8 halves that traffic.
+    # Requires use_pallas; identity-validate before enabling by default.
+    cross_cache_int8: bool = False
 
     @property
     def time_downsample(self) -> int:

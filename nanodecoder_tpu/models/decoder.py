@@ -100,16 +100,30 @@ def init_transformer_cache(p, cfg: ModelConfig, memory, mem_lengths, batch: int,
     tmax = cfg.max_decode_len
     h, dh = cfg.dec_heads, cfg.d_model // cfg.dec_heads
     layers = []
+    quant = cfg.cross_cache_int8
     for layer in p["layers"]:
         ck, cv = nn.mha_project_kv(layer["cross_attn"], cfg.dec_heads, memory)
-        layers.append(
-            {
-                "self_k": jnp.zeros((batch * beam_k, tmax, h, dh), dtype),
-                "self_v": jnp.zeros((batch * beam_k, tmax, h, dh), dtype),
-                "cross_k": ck,
-                "cross_v": cv,
-            }
-        )
+        entry = {
+            "self_k": jnp.zeros((batch * beam_k, tmax, h, dh), dtype),
+            "self_v": jnp.zeros((batch * beam_k, tmax, h, dh), dtype),
+        }
+        if quant:
+            # int8 storage with per-(row, lane) scales: the decode
+            # loop's dominant HBM traffic (cross reads) halves; the
+            # scales fold exactly into the attention math
+            # (ops/attention.quantize_cache_int8).
+            from nanodecoder_tpu.ops.attention import quantize_cache_int8
+
+            b_, s_, _, _ = ck.shape
+            d = h * dh
+            kq, ks = quantize_cache_int8(ck.reshape(b_, s_, d))
+            vq, vs = quantize_cache_int8(cv.reshape(b_, s_, d))
+            entry.update(cross_k=kq.reshape(b_, s_, h, dh),
+                         cross_v=vq.reshape(b_, s_, h, dh),
+                         cross_k_scale=ks, cross_v_scale=vs)
+        else:
+            entry.update(cross_k=ck, cross_v=cv)
+        layers.append(entry)
     s = memory.shape[1]
     return {
         "layers": layers,
@@ -120,35 +134,46 @@ def init_transformer_cache(p, cfg: ModelConfig, memory, mem_lengths, batch: int,
 
 
 def _attn_step(attn_params, n_heads, h, k_cache, v_cache, mask4d, valid_lens,
-               use_pallas: bool):
+               use_pallas: bool, k_scale=None, v_scale=None):
     """One-token attention against a cached K/V — either the fused
     Pallas kernel (TPU hot path) or the jnp path.  k_cache/v_cache:
     (B, T, H, Dh); h: (Brows, 1, D) where Brows is B or B*group — when
     Brows > B, `group` consecutive rows (the beams of one chunk) share
-    cache row Brows//B (beam-grouped cross attention).  Returns (out,
-    probs_or_None, argmax_or_None): the Pallas kernel never
-    materializes probs but emits the head-mean argmax position
-    directly."""
+    cache row Brows//B (beam-grouped cross attention).  k_scale/v_scale
+    ((B, D)) mark int8-quantized caches.  Returns (out, probs_or_None,
+    argmax_or_None): the Pallas kernel never materializes probs but
+    emits the head-mean argmax position directly."""
     b, t, nh, dh = k_cache.shape
     group = h.shape[0] // b
+    d = nh * dh
     if use_pallas:
         from nanodecoder_tpu.ops.attention import (decode_attention,
                                                    decode_attention_grouped)
 
-        d = nh * dh
         q = nn.dense(attn_params["q"], h)[:, 0, :]  # (Brows, D)
         interp = jax.default_backend() != "tpu"
         if group > 1:
             ctx, amax = decode_attention_grouped(
                 q, k_cache.reshape(b, t, d), v_cache.reshape(b, t, d),
-                valid_lens, n_heads, group, interpret=interp,
+                valid_lens, n_heads, group, k_scale=k_scale, v_scale=v_scale,
+                interpret=interp,
             )
         else:
             ctx, amax = decode_attention(
                 q, k_cache.reshape(b, t, d), v_cache.reshape(b, t, d),
-                valid_lens, n_heads, interpret=interp,
+                valid_lens, n_heads, k_scale=k_scale, v_scale=v_scale,
+                interpret=interp,
             )
         return nn.dense(attn_params["o"], ctx[:, None, :]), None, amax
+    if k_scale is not None:
+        # XLA fallback: dequantize (the traffic win is Pallas-only).
+        from nanodecoder_tpu.ops.attention import dequantize_cache_int8
+
+        cdt = h.dtype
+        k_cache = dequantize_cache_int8(
+            k_cache.reshape(b, t, d), k_scale, cdt).reshape(b, t, nh, dh)
+        v_cache = dequantize_cache_int8(
+            v_cache.reshape(b, t, d), v_scale, cdt).reshape(b, t, nh, dh)
     if group > 1:
         # XLA fallback (CPU / coverage path): tile the beam-invariant
         # caches on the fly — correct but without the traffic win.
@@ -194,6 +219,8 @@ def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
             layer["cross_attn"], cfg.dec_heads, h,
             cache["cross_k"], cache["cross_v"], state["cross_mask"],
             state["mem_lengths"], cfg.use_pallas,
+            k_scale=cache.get("cross_k_scale"),
+            v_scale=cache.get("cross_v_scale"),
         )
         y1 = y1 + a
         h = nn.layer_norm(layer["ln3"], y1)

@@ -56,8 +56,12 @@ def decode_attention_reference(q, k_cache, v_cache, valid_lens, n_heads: int):
     return out.reshape(b, d).astype(q.dtype)
 
 
-def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, amax_ref, *,
-                        n_heads: int, block_b: int):
+def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
+                        n_heads: int, block_b: int, quantized: bool):
+    if quantized:
+        ks_ref, vs_ref, o_ref, amax_ref = rest
+    else:
+        o_ref, amax_ref = rest
     t, d = k_ref.shape[1], k_ref.shape[2]
     dh = d // n_heads
     scale = 1.0 / math.sqrt(dh)
@@ -78,6 +82,9 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, amax_ref, *,
         # Block-diagonal query matrix: qmat[i, h] = q[i] if i//dh == h,
         # so all heads' scores come from ONE (T,D)x(D,H) MXU matmul.
         qmat = jnp.where(i_ids // dh == h_ids, q.reshape(d, 1), 0.0)
+        if quantized:
+            # Fold the int8 K dequant scales into the query matrix.
+            qmat = qmat * ks_ref[r].astype(jnp.float32).reshape(d, 1)
 
         scores = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # (T, H)
         scores = jnp.where(t_ids < valid, scores, NEG_INF)
@@ -100,7 +107,33 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, amax_ref, *,
         # avoids materializing a (T, D) broadcast product on the VPU.
         oh = jnp.dot(p.T, v, preferred_element_type=jnp.float32)  # (H, D)
         out = jnp.sum(memb * oh, axis=0)                     # (D,)
+        if quantized:
+            # Fold the int8 V dequant scales into the output lanes.
+            out = out * vs_ref[r].astype(jnp.float32)
         o_ref[r, :] = out.astype(o_ref.dtype)
+
+
+def quantize_cache_int8(x):
+    """(B, T, D) cache -> (int8 values, (B, D) f32 per-lane scales).
+
+    Symmetric per-(row, lane) quantization.  Exactness note: the
+    attention math folds the scales OUTSIDE the quantized tensors —
+    scores use k_q @ (scale_k * qmat) and outputs use (p.T @ v_q) *
+    scale_v — so the only error is the int8 rounding of the stored
+    values; all accumulation stays f32.  Purpose: the decode loop is
+    HBM-bound on cross-cache reads (docs/PERF.md roofline); int8 halves
+    that traffic vs bf16.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1)                    # (B, D)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[:, None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_cache_int8(q, scale, dtype):
+    """Inverse of quantize_cache_int8 (XLA fallback path)."""
+    return (q.astype(jnp.float32) * scale[:, None, :]).astype(dtype)
 
 
 def decode_attention_grouped_reference(q, k_cache, v_cache, valid_lens,
@@ -119,8 +152,8 @@ def decode_attention_grouped_reference(q, k_cache, v_cache, valid_lens,
     return decode_attention_reference(q, k_t, v_t, len_t, n_heads)
 
 
-def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, amax_ref,
-                                *, n_heads: int, group: int):
+def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
+                                n_heads: int, group: int, quantized: bool):
     """One grid step = one chunk: its (T, D) K/V stream HBM->VMEM ONCE
     and all `group` beam queries attend against them — cross-cache
     traffic divided by the beam width (the caches are beam-invariant).
@@ -129,6 +162,10 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, amax_ref,
     column j of the block-sparse query matrix holds beam j//H's query
     restricted to head j%H's lanes.
     """
+    if quantized:
+        ks_ref, vs_ref, o_ref, amax_ref = rest
+    else:
+        o_ref, amax_ref = rest
     t, d = k_ref.shape[1], k_ref.shape[2]
     dh = d // n_heads
     gh = group * n_heads
@@ -145,6 +182,9 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, amax_ref,
     # qmat[i, j] = q[j // H, i] when i's head == j's head else 0.
     qsel = jnp.take_along_axis(q.T, j_ids // n_heads, axis=1)  # (D, GH): q[j//H, i]
     qmat = jnp.where(i_ids // dh == j_ids % n_heads, qsel, 0.0)
+    if quantized:
+        # Fold the int8 K dequant scales into the query matrix: exact.
+        qmat = qmat * ks_ref[0].astype(jnp.float32).reshape(d, 1)
 
     scores = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # (T, GH)
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (t, gh), 0)
@@ -170,28 +210,43 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, amax_ref,
     h_row = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d), 0)
     memb = (h_row == lane_h).astype(jnp.float32)               # (H, D)
     out = jnp.sum(oh.reshape(group, n_heads, d) * memb[None], axis=1)  # (G, D)
+    if quantized:
+        # Fold the int8 V dequant scales into the output lanes: exact.
+        out = out * vs_ref[0].astype(jnp.float32)[None, :]
     o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "group", "interpret"))
 def decode_attention_grouped(q, k_cache, v_cache, valid_lens, n_heads: int,
-                             group: int, interpret: bool = False):
+                             group: int, k_scale=None, v_scale=None,
+                             interpret: bool = False):
     """Beam-grouped fused one-token MHA: rows g*group..(g+1)*group-1 of
     `q` attend against cache row g.  See
-    decode_attention_grouped_reference for semantics.  Returns
+    decode_attention_grouped_reference for semantics.  With
+    k_scale/v_scale ((B, D) f32), the caches are int8 and the dequant
+    scales fold into the query matrix / output lanes.  Returns
     ((B*group, D) out, (B*group,) argmax positions)."""
     b, t, d = k_cache.shape
     qg = q.reshape(b, group, d)
+    quantized = k_scale is not None
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B,) valid_lens
+        pl.BlockSpec((1, group, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [valid_lens.astype(jnp.int32), qg, k_cache, v_cache]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale, v_scale]
     out, amax = pl.pallas_call(
         functools.partial(_decode_attn_grouped_kernel, n_heads=n_heads,
-                          group=group),
+                          group=group, quantized=quantized),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B,) valid_lens
-            pl.BlockSpec((1, group, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, group, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, group), lambda i: (i, 0), memory_space=pltpu.SMEM),
@@ -207,15 +262,17 @@ def decode_attention_grouped(q, k_cache, v_cache, valid_lens, n_heads: int,
             + b * group * d * 2,
             transcendentals=b * t * group * n_heads,
         ),
-    )(valid_lens.astype(jnp.int32), qg, k_cache, v_cache)
+    )(*args)
     return out.reshape(b * group, d), amax.reshape(b * group)
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
 def decode_attention(q, k_cache, v_cache, valid_lens, n_heads: int,
-                     interpret: bool = False):
+                     k_scale=None, v_scale=None, interpret: bool = False):
     """Fused one-token MHA over a (B, T, D) KV cache.  See
-    decode_attention_reference for semantics.
+    decode_attention_reference for semantics.  With k_scale/v_scale
+    ((B, D) f32), the caches are int8 and the dequant scales fold into
+    the query matrix / output lanes (exact accumulation in f32).
 
     Grid: batch row blocks (BLOCK_B rows per program) so K/V stream
     HBM->VMEM once with double-buffered DMAs; valid_lens lives whole in
@@ -224,15 +281,25 @@ def decode_attention(q, k_cache, v_cache, valid_lens, n_heads: int,
     b, t, d = k_cache.shape
     block_b = 8 if b % 8 == 0 else (4 if b % 4 == 0 else (2 if b % 2 == 0 else 1))
     grid = (b // block_b,)
-    out, amax = pl.pallas_call(
-        functools.partial(_decode_attn_kernel, n_heads=n_heads, block_b=block_b),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B,) valid_lens
+    quantized = k_scale is not None
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B,) valid_lens
+        pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [valid_lens.astype(jnp.int32), q, k_cache, v_cache]
+    if quantized:
+        in_specs += [
             pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale, v_scale]
+    out, amax = pl.pallas_call(
+        functools.partial(_decode_attn_kernel, n_heads=n_heads,
+                          block_b=block_b, quantized=quantized),
+        grid=grid,
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
@@ -247,5 +314,5 @@ def decode_attention(q, k_cache, v_cache, valid_lens, n_heads: int,
             bytes_accessed=b * t * d * 2 * k_cache.dtype.itemsize + b * d * 2,
             transcendentals=b * t * n_heads,
         ),
-    )(valid_lens.astype(jnp.int32), q, k_cache, v_cache)
+    )(*args)
     return out, amax[:, 0]

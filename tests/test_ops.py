@@ -67,6 +67,67 @@ def test_decode_attention_grouped_matches_ungrouped(rng_np):
     np.testing.assert_array_equal(np.asarray(amax_g), np.asarray(amax_u))
 
 
+@pytest.mark.parametrize("grouped", [False, True])
+def test_decode_attention_int8_fold_is_exact(grouped, rng_np):
+    """The int8 path's scale folding must equal attention over the
+    DEQUANTIZED caches exactly (the only approximation is the int8
+    rounding of the stored values, which the dequantized reference
+    shares)."""
+    from nanodecoder_tpu.ops.attention import (
+        decode_attention_grouped, decode_attention_grouped_reference,
+        dequantize_cache_int8, quantize_cache_int8)
+
+    b, t, heads, dh, group = 2, 32, 4, 16, 3 if grouped else 1
+    d = heads * dh
+    q = jnp.asarray(rng_np.normal(size=(b * group, d)), jnp.float32)
+    k = jnp.asarray(rng_np.normal(size=(b, t, d)), jnp.float32)
+    v = jnp.asarray(rng_np.normal(size=(b, t, d)), jnp.float32)
+    valid = jnp.array([t, 13], jnp.int32)
+    kq, ks = quantize_cache_int8(k)
+    vq, vs = quantize_cache_int8(v)
+    k_dq = dequantize_cache_int8(kq, ks, jnp.float32)
+    v_dq = dequantize_cache_int8(vq, vs, jnp.float32)
+    ref = decode_attention_grouped_reference(q, k_dq, v_dq, valid, heads, group)
+    if grouped:
+        got, _ = decode_attention_grouped(q, kq, vq, valid, heads, group,
+                                          k_scale=ks, v_scale=vs,
+                                          interpret=True)
+    else:
+        got, _ = decode_attention(q, kq, vq, valid, heads,
+                                  k_scale=ks, v_scale=vs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # And the quantization error itself is small vs the exact caches.
+    exact = decode_attention_grouped_reference(q, k, v, valid, heads, group)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=0.05,
+                               rtol=0.05)
+
+
+def test_decode_step_int8_cross_cache_close(rng_np):
+    """decode_step with cross_cache_int8 stays close to the exact path
+    (same tokens aside from near-ties; log-probs within ~1e-2)."""
+    import dataclasses as dc
+
+    from nanodecoder_tpu.config import tiny_test_config
+    from nanodecoder_tpu.models.model import (decode_step, encode,
+                                              init_decode_state, init_model)
+
+    cfg = tiny_test_config().model
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    sig = jnp.asarray(rng_np.normal(size=(2, 256)), jnp.float32)
+    lens = jnp.full((2,), 256, jnp.int32)
+    memory, mem_len = encode(params, cfg, sig, lens)
+    toks = jnp.array([1, 1], jnp.int32)
+
+    base_state = init_decode_state(params, cfg, memory, mem_len)
+    lp0, pos0, _ = decode_step(params, cfg, toks, base_state)
+
+    cfg_q = dc.replace(cfg, cross_cache_int8=True)
+    q_state = init_decode_state(params, cfg_q, memory, mem_len)
+    assert q_state["layers"][0]["cross_k"].dtype == jnp.int8
+    lp1, pos1, _ = decode_step(params, cfg_q, toks, q_state)
+    np.testing.assert_allclose(np.asarray(lp0), np.asarray(lp1), atol=2e-2)
+
+
 def test_decode_attention_respects_valid_len(rng_np):
     """Positions >= valid must not influence the output."""
     b, t, heads, dh = 2, 32, 2, 16
