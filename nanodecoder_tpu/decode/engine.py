@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import collections
 import os
+import threading
 from typing import Iterable
 
 import jax
@@ -147,8 +148,6 @@ class StreamingBasecaller:
         per_read: dict[int, dict[int, tuple[np.ndarray, int, np.ndarray]]] = (
             collections.defaultdict(dict)
         )
-        in_flight: collections.deque = collections.deque()
-
         def finish_read(ridx: int) -> None:
             rc = pipe.reads[ridx]
             if rc.read.read_id in skip:
@@ -189,8 +188,20 @@ class StreamingBasecaller:
                 done_log.flush()
             meter.update(rc.read.n_samples, len(seq), cb.n_chunks, 1)
 
-        def drain_one() -> None:
-            dev_out, packed = in_flight.popleft()
+        # Collection (device->host transfer + assembly + stitch + write)
+        # runs on its OWN thread behind a bounded queue: np.asarray
+        # releases the GIL during the transfer, so collecting batch i
+        # overlaps dispatching/computing batches i+1..i+depth instead
+        # of serializing with them (collect was 87% of engine wall time
+        # when serial — docs/PERF.md round 2).  The queue bound is the
+        # device-buffer backpressure (same role `in_flight` played).
+        import queue as _queue
+
+        result_q: _queue.Queue = _queue.Queue(maxsize=max(self.depth, 1))
+        collector_exc: list[BaseException] = []
+
+        def collect_one(item) -> None:
+            dev_out, packed = item
             with timer.stage("collect"):
                 tokens, tlens, lps, pos = (np.asarray(x) for x in dev_out)
             with timer.stage("stitch+write"):
@@ -199,9 +210,25 @@ class StreamingBasecaller:
                     if len(per_read[ridx]) == pipe.reads[ridx].chunks.n_chunks:
                         finish_read(ridx)
 
+        def collector() -> None:
+            while True:
+                item = result_q.get()
+                if item is None:
+                    return
+                if not collector_exc:
+                    try:
+                        collect_one(item)
+                    except BaseException as e:  # noqa: BLE001 — relayed to caller
+                        collector_exc.append(e)
+                # After a failure, keep draining so the producer's
+                # bounded put() never deadlocks.
+
+        col_thread = threading.Thread(target=collector, name="engine-collector",
+                                      daemon=True)
+        col_thread.start()
         try:
             batches = pipe.batches()
-            while True:
+            while not collector_exc:
                 with timer.stage("ingest-wait"):
                     packed = next(batches, None)
                 if packed is None:
@@ -212,11 +239,11 @@ class StreamingBasecaller:
                          "lengths": jnp.asarray(packed.lengths)}
                     )
                     dev_out = self._decode(batch["signal"], batch["lengths"])
-                    in_flight.append((dev_out, packed))
-                if len(in_flight) > self.depth:
-                    drain_one()
-            while in_flight:
-                drain_one()
+                result_q.put((dev_out, packed))
         finally:
+            result_q.put(None)
+            col_thread.join()
             pipe.stop()
+        if collector_exc:
+            raise collector_exc[0]
         return meter

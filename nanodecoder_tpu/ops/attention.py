@@ -180,7 +180,11 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
     i_ids = jax.lax.broadcasted_iota(jnp.int32, (d, gh), 0)
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (d, gh), 1)
     # qmat[i, j] = q[j // H, i] when i's head == j's head else 0.
-    qsel = jnp.take_along_axis(q.T, j_ids // n_heads, axis=1)  # (D, GH): q[j//H, i]
+    # Built by an unrolled select over the (small) group dim — Mosaic's
+    # gather lowering rejects take_along_axis with broadcast shapes.
+    qsel = jnp.zeros((d, gh), jnp.float32)
+    for g in range(group):
+        qsel = qsel + jnp.where(j_ids // n_heads == g, q[g].reshape(d, 1), 0.0)
     qmat = jnp.where(i_ids // dh == j_ids % n_heads, qsel, 0.0)
     if quantized:
         # Fold the int8 K dequant scales into the query matrix: exact.
@@ -195,21 +199,36 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
     z = jnp.sum(p, axis=0, keepdims=True)
     p = p / z                                             # (T, GH)
 
-    # Head-mean argmax per beam (ties -> lowest position).
-    pg = p.reshape(t, group, n_heads)
-    pmean = jnp.sum(pg, axis=2)                           # (T, G)
+    # Head-mean argmax per beam (ties -> lowest position).  Lane-dim
+    # splitting reshapes like (T, GH)->(T, G, H) are unsupported shape
+    # casts in Mosaic — the per-beam head sum is a (GH, G) mask matmul
+    # instead.
+    jj = jax.lax.broadcasted_iota(jnp.int32, (gh, group), 0)
+    gg = jax.lax.broadcasted_iota(jnp.int32, (gh, group), 1)
+    beam_sel = (jj // n_heads == gg).astype(jnp.float32)  # (GH, G)
+    pmean = jnp.dot(p, beam_sel, preferred_element_type=jnp.float32)  # (T, G)
     pm_max = jnp.max(pmean, axis=0, keepdims=True)
     is_max = pmean >= pm_max
     tg_ids = jax.lax.broadcasted_iota(jnp.int32, (t, group), 0)
-    amax_ref[0, :] = jnp.min(jnp.where(is_max, tg_ids, 2 ** 30), axis=0)
+    # amax_ref is the WHOLE (B, G) SMEM buffer (a (1, G) blocked SMEM
+    # spec violates Mosaic's 8-sublane block rule — observed on v5e);
+    # each grid step writes its own row, one scalar per beam (SMEM
+    # stores must be scalars).
+    for g in range(group):
+        amax_ref[blk, g] = jnp.min(
+            jnp.where(is_max[:, g : g + 1], tg_ids[:, g : g + 1], 2 ** 30))
 
     # Weighted sums for all beams+heads in ONE MXU matmul, then each
-    # output lane selects its own (beam, head) row.
+    # output lane selects its own (beam, head) row.  The (GH, D) ->
+    # (G, D) head-block reduction is another mask matmul (no 3-D
+    # reshape, see above): mask rows to their own head's lanes, then
+    # segment-sum the H rows of each beam with beam_sel.T.
     oh = jnp.dot(p.T, v, preferred_element_type=jnp.float32)   # (GH, D)
-    lane_h = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d), 1) // dh
-    h_row = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d), 0)
-    memb = (h_row == lane_h).astype(jnp.float32)               # (H, D)
-    out = jnp.sum(oh.reshape(group, n_heads, d) * memb[None], axis=1)  # (G, D)
+    j_row = jax.lax.broadcasted_iota(jnp.int32, (gh, d), 0)
+    lane_hh = jax.lax.broadcasted_iota(jnp.int32, (gh, d), 1) // dh
+    memb_big = (j_row % n_heads == lane_hh).astype(jnp.float32)  # (GH, D)
+    out = jnp.dot(beam_sel.T, oh * memb_big,
+                  preferred_element_type=jnp.float32)            # (G, D)
     if quantized:
         # Fold the int8 V dequant scales into the output lanes: exact.
         out = out * vs_ref[0].astype(jnp.float32)[None, :]
@@ -249,7 +268,7 @@ def decode_attention_grouped(q, k_cache, v_cache, valid_lens, n_heads: int,
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, group, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B, G) — see kernel
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, group, d), q.dtype),
