@@ -95,6 +95,10 @@ def main() -> None:
                     help="decode in float32 parity mode (default: bfloat16 "
                          "fast mode — measured identity delta < 1e-4, see "
                          "docs/PERF.md)")
+    ap.add_argument("--int8-cross", action="store_true",
+                    help="int8 cross-K/V decode caches (halves the decode "
+                         "loop's dominant HBM traffic; see docs/PERF.md "
+                         "roofline + identity validation)")
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=True,
                     help="use the Pallas decode-attention/beam kernels "
                          "(default on: measured 1.4x over the XLA einsum "
@@ -159,6 +163,10 @@ def main() -> None:
             config,
             model=dataclasses.replace(config.model, use_pallas=True),
             decode=dataclasses.replace(config.decode, use_pallas=True),
+        )
+    if args.int8_cross:
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, cross_cache_int8=True)
         )
     if not args.f32:
         # bf16 fast mode: halves KV-cache HBM traffic in the decode loop

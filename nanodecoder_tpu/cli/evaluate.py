@@ -65,6 +65,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=None,
                     help="fused Pallas decode kernels (default: on when "
                          "running on TPU)")
+    ap.add_argument("--int8-cross", action="store_true",
+                    help="int8 cross-K/V decode caches (perf mode; this "
+                         "flag exists to quantify its identity delta)")
     ap.add_argument("--json", action="store_true", help="emit one JSON line")
     return ap
 
@@ -117,6 +120,11 @@ def main(argv=None) -> int:
             config = dataclasses.replace(
                 config, decode=dataclasses.replace(config.decode, mode="beam",
                                                    beam_size=args.beam)
+            )
+        if args.int8_cross:
+            config = dataclasses.replace(
+                config, model=dataclasses.replace(config.model,
+                                                  cross_cache_int8=True)
             )
         tr = Translator(params, config)
         spec = SimSpec()
