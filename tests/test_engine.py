@@ -76,6 +76,24 @@ class TestAsyncPipeline:
         next(it)
         pipe.stop()  # must not deadlock
 
+    def test_collector_thread_error_propagates(self, tiny_params, tiny_config,
+                                               tmp_path, rng_np):
+        """An exception raised on the collector thread (e.g. a failing
+        output writer) must surface in run()'s caller, not hang the
+        producer behind the bounded queue or die silently."""
+        from nanodecoder_tpu.decode.engine import StreamingBasecaller
+
+        reads = {f"r{i}": rng_np.normal(0, 300, size=700) for i in range(8)}
+        _write_multi_fast5(str(tmp_path / "a.fast5"), reads)
+
+        class BoomWriter:
+            def write(self, s):
+                raise RuntimeError("disk full")
+
+        caller = StreamingBasecaller(tiny_params, tiny_config)
+        with pytest.raises(RuntimeError, match="disk full"):
+            caller.run([str(tmp_path / "a.fast5")], BoomWriter())
+
 
 class TestStreamingEngine:
     @pytest.fixture(scope="class")
