@@ -100,11 +100,13 @@ def main(argv=None) -> int:
         from nanodecoder_tpu.train.data import SimSpec, simulate_read
 
         params, config = load_params_and_config(args.ckpt)
-        if args.dtype:
-            config = dataclasses.replace(
-                config, model=dataclasses.replace(config.model,
-                                                  compute_dtype=args.dtype)
-            )
+        # Default to the serving fast path (bf16), like cli/basecall —
+        # --dtype float32 restores the parity mode.  (The checkpoint's
+        # config carries the *training* compute dtype.)
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(
+                config.model, compute_dtype=args.dtype or "bfloat16")
+        )
         if args.batch:
             config = dataclasses.replace(
                 config, decode=dataclasses.replace(config.decode,
