@@ -216,8 +216,11 @@ def main() -> None:
     compile_s = time.perf_counter() - t0
     import numpy as _np
 
-    mean_len = float(_np.mean(_np.asarray(out[1])))
-    print(f"# warmup/compile: {compile_s:.1f}s, mean decode len: {mean_len:.0f} tokens",
+    lens_np = _np.asarray(out[1])
+    mean_len = float(_np.mean(lens_np))
+    max_len = int(_np.max(lens_np))
+    print(f"# warmup/compile: {compile_s:.1f}s, decode len mean {mean_len:.0f} / "
+          f"max {max_len} tokens (loop runs to the batch max — straggler cost)",
           file=sys.stderr)
 
     # Steady-state measurement with bounded dispatch-ahead (depth 2 —
