@@ -52,6 +52,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="chunk merge rule: proportional trim, overlap "
                          "alignment, or attention-position (greedy only)")
     ap.add_argument("--workers", type=int, default=4, help="ingest reader threads")
+    ap.add_argument("--depth", type=int, default=2,
+                    help="device batches in flight (dispatch-ahead depth; "
+                         "higher overlaps more transfer with compute)")
     ap.add_argument("--resume", action="store_true",
                     help="skip reads already in <output>.done")
     ap.add_argument("--cpu", action="store_true", help="run on CPU")
@@ -152,7 +155,7 @@ def main(argv=None) -> int:
             log.info("resume: skipping %d completed reads", len(skip))
 
     plan = make_mesh_plan(config.mesh) if jax.device_count() > 1 else None
-    caller = StreamingBasecaller(params, config, mesh_plan=plan)
+    caller = StreamingBasecaller(params, config, mesh_plan=plan, depth=args.depth)
     from nanodecoder_tpu.utils.profiling import StageTimer
 
     timer = StageTimer() if args.stage_times else None
