@@ -99,6 +99,10 @@ def main() -> None:
                     help="int8 cross-K/V decode caches (halves the decode "
                          "loop's dominant HBM traffic; see docs/PERF.md "
                          "roofline + identity validation)")
+    ap.add_argument("--fused", action=argparse.BooleanOptionalAction, default=False,
+                    help="fused decoder-layer step kernel (one Pallas program "
+                         "per layer) — experimental; measured 4x SLOWER than "
+                         "the per-op kernels at batch 256 (docs/PERF.md)")
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=True,
                     help="use the Pallas decode-attention/beam kernels "
                          "(default on: measured 1.4x over the XLA einsum "
@@ -168,6 +172,9 @@ def main() -> None:
         config = dataclasses.replace(
             config, model=dataclasses.replace(config.model, cross_cache_int8=True)
         )
+    config = dataclasses.replace(
+        config, model=dataclasses.replace(config.model, fused_step=args.fused)
+    )
     if not args.f32:
         # bf16 fast mode: halves KV-cache HBM traffic in the decode loop
         # (measured 2x decode throughput on v5e; mean read identity is

@@ -76,15 +76,26 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
     for r in range(block_b):  # unrolled over the row block
         valid = len_ref[blk * block_b + r]
         q = q_ref[r].astype(jnp.float32)  # (D,)
-        k = k_ref[r].astype(jnp.float32)  # (T, D)
-        v = v_ref[r].astype(jnp.float32)  # (T, D)
+        # K/V stay in their storage dtype: the MXU takes bf16 (or the
+        # f32 parity mode's f32) inputs directly with f32 accumulation.
+        # An .astype(f32) here materializes a (T, D) VPU copy per row —
+        # measured as the dominant cross-attention cost at batch 256
+        # (673 us/step vs the ~245 us HBM floor, profile_step_ablation).
+        k = k_ref[r]                      # (T, D) storage dtype
+        v = v_ref[r]                      # (T, D)
 
         # Block-diagonal query matrix: qmat[i, h] = q[i] if i//dh == h,
         # so all heads' scores come from ONE (T,D)x(D,H) MXU matmul.
         qmat = jnp.where(i_ids // dh == h_ids, q.reshape(d, 1), 0.0)
         if quantized:
             # Fold the int8 K dequant scales into the query matrix.
+            # int8 is not an MXU input dtype and the fold must stay
+            # exact (f32 scales), so this path keeps the f32 upcast.
             qmat = qmat * ks_ref[r].astype(jnp.float32).reshape(d, 1)
+            k = k.astype(jnp.float32)
+            v = v.astype(jnp.float32)
+        else:
+            qmat = qmat.astype(k.dtype)   # bf16 query == the XLA path's dense output
 
         scores = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # (T, H)
         scores = jnp.where(t_ids < valid, scores, NEG_INF)
@@ -105,7 +116,10 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
         # Weighted sum via ONE MXU matmul: oh[h, :] = sum_t p[t,h] v[t,:]
         # then select each lane's own head with the membership mask —
         # avoids materializing a (T, D) broadcast product on the VPU.
-        oh = jnp.dot(p.T, v, preferred_element_type=jnp.float32)  # (H, D)
+        # Probs cast to the V dtype (== the XLA path: attention_core
+        # does probs.astype(v.dtype) before the PV einsum).
+        oh = jnp.dot(p.T.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)  # (H, D)
         out = jnp.sum(memb * oh, axis=0)                     # (D,)
         if quantized:
             # Fold the int8 V dequant scales into the output lanes.
@@ -174,8 +188,10 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
 
     valid = len_ref[blk]
     q = q_ref[0].astype(jnp.float32)                      # (G, D)
-    k = k_ref[0].astype(jnp.float32)                      # (T, D)
-    v = v_ref[0].astype(jnp.float32)                      # (T, D)
+    # K/V stay in storage dtype (MXU takes bf16 with f32 accumulation);
+    # the quantized path upcasts below to keep the scale fold exact.
+    k = k_ref[0]                                          # (T, D)
+    v = v_ref[0]                                          # (T, D)
 
     i_ids = jax.lax.broadcasted_iota(jnp.int32, (d, gh), 0)
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (d, gh), 1)
@@ -189,6 +205,10 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
     if quantized:
         # Fold the int8 K dequant scales into the query matrix: exact.
         qmat = qmat * ks_ref[0].astype(jnp.float32).reshape(d, 1)
+        k = k.astype(jnp.float32)
+        v = v.astype(jnp.float32)
+    else:
+        qmat = qmat.astype(k.dtype)
 
     scores = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # (T, GH)
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (t, gh), 0)
@@ -223,7 +243,8 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
     # (G, D) head-block reduction is another mask matmul (no 3-D
     # reshape, see above): mask rows to their own head's lanes, then
     # segment-sum the H rows of each beam with beam_sel.T.
-    oh = jnp.dot(p.T, v, preferred_element_type=jnp.float32)   # (GH, D)
+    oh = jnp.dot(p.T.astype(v.dtype), v,
+                 preferred_element_type=jnp.float32)           # (GH, D)
     j_row = jax.lax.broadcasted_iota(jnp.int32, (gh, d), 0)
     lane_hh = jax.lax.broadcasted_iota(jnp.int32, (gh, d), 1) // dh
     memb_big = (j_row % n_heads == lane_hh).astype(jnp.float32)  # (GH, D)

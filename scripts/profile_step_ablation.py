@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--steps", type=int, default=320)
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--only", default="", help="comma-separated variant names")
     args = ap.parse_args()
 
     with open("bench_results/config.json") as f:
@@ -48,6 +49,47 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     def make_loop(which):
+        if which == ("fusedlayer",):
+            from nanodecoder_tpu.ops.decoder_layer import (decoder_layer_step,
+                                                           fuse_layer_weights)
+
+            fusedw = [fuse_layer_weights(layer, dtype) for layer in dp["layers"]]
+            h, dh = mcfg.dec_heads, mcfg.d_model // mcfg.dec_heads
+            d = h * dh
+
+            def body_fused(i, carry):
+                y1, state = carry
+                step = state["step"]
+                y = y1[:, 0, :]
+                new_layers = []
+                for cache, wf in zip(state["layers"], fusedw):
+                    t = cache["self_k"].shape[1]
+                    s = cache["cross_k"].shape[1]
+                    y, k1, v1, amax = decoder_layer_step(
+                        y, cache["self_k"].reshape(b, t, d),
+                        cache["self_v"].reshape(b, t, d),
+                        cache["cross_k"].reshape(b, s, d),
+                        cache["cross_v"].reshape(b, s, d),
+                        step, state["mem_lengths"], wf, mcfg.dec_heads)
+                    self_k = jax.lax.dynamic_update_slice_in_dim(
+                        cache["self_k"], k1.reshape(b, 1, h, dh), step, axis=1)
+                    self_v = jax.lax.dynamic_update_slice_in_dim(
+                        cache["self_v"], v1.reshape(b, 1, h, dh), step, axis=1)
+                    new_layers.append({**cache, "self_k": self_k, "self_v": self_v})
+                out = nn.layer_norm(dp["ln_out"], y[:, None, :])
+                state = {**state, "layers": new_layers, "step": step + 1}
+                y_next = out + jnp.sum(out, axis=-1, keepdims=True) * 1e-9
+                return (y_next, state)
+
+            def loop_fused(p, memory, mem_len):
+                cache = init_transformer_cache(dp, mcfg, memory, mem_len, b, dtype)
+                cache.pop("fusedw", None)
+                y0 = jnp.zeros((b, 1, mcfg.d_model), dtype)
+                yN, st = jax.lax.fori_loop(0, args.steps, body_fused, (y0, cache))
+                return jnp.sum(yN.astype(jnp.float32))
+
+            return jax.jit(loop_fused)
+
         def body_fn(i, carry):
             y1, state = carry
             step = state["step"]
@@ -64,8 +106,10 @@ def main():
                     v1 = nn._split_heads(nn.dense(layer["self_attn"]["v"], h), mcfg.dec_heads)
                     self_k = jax.lax.dynamic_update_slice_in_dim(cache["self_k"], k1, step, axis=1)
                     self_v = jax.lax.dynamic_update_slice_in_dim(cache["self_v"], v1, step, axis=1)
+                    # Production (models/decoder.py): self-attention is
+                    # ALWAYS the XLA path — VMEM-resident loop carries.
                     a, _, _ = _attn_step(layer["self_attn"], mcfg.dec_heads, h, self_k,
-                                         self_v, self_mask, self_valid, args.pallas)
+                                         self_v, self_mask, self_valid, False)
                     y1 = y1 + a
                     cache = {**cache, "self_k": self_k, "self_v": self_v}
                 if "dus_only" in which:
@@ -109,7 +153,10 @@ def main():
         ("ffn", ("ffn",)),
         ("self+cross", ("self", "cross")),
         ("full", ("self", "cross", "ffn")),
+        ("fusedlayer", ("fusedlayer",)),
     ]
+    if args.only:
+        variants = [vv for vv in variants if vv[0] in args.only.split(",")]
     results = {}
     for name, which in variants:
         f = make_loop(which)
