@@ -78,6 +78,15 @@ class ModelConfig:
     # unfused paths) as the base for further in-kernel optimization.
     # Active only on the greedy (group==1) path; requires use_pallas.
     fused_step: bool = False
+    # Lean decode path: LN affines + biases folded into the adjacent
+    # matmuls (one fused QKV matmul per layer, pre-cast weights, f32
+    # generator with ln_out folded in) and an optimization barrier that
+    # keeps the self caches in their storage dtype across while-loop
+    # iterations.  Device-trace-driven (docs/PERF.md round-2): removes
+    # the per-step param restage copies and XLA's f32 upcast of the
+    # bf16 cache carry.  f32 mode is token-parity-tested vs the
+    # unfolded path.
+    lean_step: bool = True
     # int8 cross-K/V decode caches (per-lane symmetric scales folded
     # exactly into the query matrix / output — only the HBM *storage*
     # is quantized).  The decode loop is bandwidth-bound on cross-cache

@@ -122,6 +122,12 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
         len_t = jnp.repeat(mem_lengths, k, axis=0)
         state0 = init_decode_state(params, cfg, mem_t, len_t)
     s = memory.shape[1]
+    # Lean decode path (folded weights, closure of the loop body); the
+    # coverage-penalty path (return_attn) falls back to the unfolded
+    # step inside decode_step.
+    from nanodecoder_tpu.models.decoder import prepare_decode_params
+
+    params = prepare_decode_params(params, cfg, memory.dtype)
 
     # Coverage penalty needs per-hypothesis accumulated cross-attention
     # mass; the Pallas attention kernel never materializes the

@@ -42,6 +42,11 @@ def greedy_decode(params, cfg: ModelConfig, memory, mem_lengths,
     b = memory.shape[0]
     tmax = cfg.max_decode_len
     state0 = init_decode_state(params, cfg, memory, mem_lengths)
+    # Lean path: fold LN affines/biases into the matmuls ONCE, outside
+    # the loop; the body closes over the folded weights.
+    from nanodecoder_tpu.models.decoder import prepare_decode_params
+
+    params = prepare_decode_params(params, cfg, memory.dtype)
 
     init = dict(
         state=state0,

@@ -75,6 +75,9 @@ def sample_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     tmax = cfg.max_decode_len
     temp = float(dcfg.temperature)
     state0 = init_decode_state(params, cfg, memory, mem_lengths)
+    from nanodecoder_tpu.models.decoder import prepare_decode_params
+
+    params = prepare_decode_params(params, cfg, memory.dtype)
 
     init = dict(
         state=state0,

@@ -227,6 +227,136 @@ def _transformer_decoder_step_fused(p, cfg: ModelConfig, y1, state):
     return out, (None, amax), new_state
 
 
+# ---------------------------------------------------------------------------
+# lean decode path: LN affines + biases folded into the adjacent matmuls
+#
+# Device-trace evidence (docs/PERF.md round-2 continued): at batch 256
+# the while-body restages ~8 small f32 param vectors (ln2 scales/biases,
+# generator bias) into VMEM EVERY step (~100 us in-flight each), and the
+# per-op chain runs 3 separate Q/K/V projections per layer.  Folding
+#   layer_norm(x) @ W + b  ==  normalize(x) @ (g[:, None] * W)
+#                              + (b_ln @ W + b)
+# removes the LN affine params from the loop entirely, concatenates
+# self Q/K/V into ONE matmul, and pre-casts every matrix to the compute
+# dtype once per decode program.  The final ln_out affine folds into the
+# f32 generator the same way.  The folded pytree is a CLOSURE of the
+# decode loop body (never a while-loop carry — carried weights measured
+# catastrophically slow on the fused-kernel path).
+
+
+def _ln_normalize(x, eps: float = 1e-6):
+    """layer_norm without the affine (it is folded into the next matmul).
+    Reduction in f32 like nn.layer_norm (SURVEY §7 R2)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _fold_ln_dense(ln, dense_p, dtype):
+    """Fold an LN affine into a following dense: returns (w', b')
+    with w' = g ⊙_rows W (compute dtype) and b' = b_ln @ W + b."""
+    g = ln["scale"].astype(jnp.float32)
+    bl = ln["bias"].astype(jnp.float32)
+    w = dense_p["w"].astype(jnp.float32)
+    b = dense_p["b"].astype(jnp.float32) if "b" in dense_p else 0.0
+    w2 = (g[:, None] * w).astype(dtype)
+    b2 = (bl @ w + b).astype(dtype)
+    return w2, b2
+
+
+def fold_lean_params(p_dec, p_gen, cfg: ModelConfig, dtype):
+    """Decoder + generator params -> folded decode-loop weights."""
+    layers = []
+    for layer in p_dec["layers"]:
+        sa, ca, ff = layer["self_attn"], layer["cross_attn"], layer["ffn"]
+        wq, bq = _fold_ln_dense(layer["ln1"], sa["q"], dtype)
+        wk, bk = _fold_ln_dense(layer["ln1"], sa["k"], dtype)
+        wv, bv = _fold_ln_dense(layer["ln1"], sa["v"], dtype)
+        wcq, bcq = _fold_ln_dense(layer["ln2"], ca["q"], dtype)
+        wf1, bf1 = _fold_ln_dense(layer["ln3"], ff["in"], dtype)
+        layers.append({
+            "w_qkv": jnp.concatenate([wq, wk, wv], axis=1),
+            "b_qkv": jnp.concatenate([bq, bk, bv]),
+            "self_o": {"w": sa["o"]["w"].astype(dtype),
+                       "b": sa["o"]["b"].astype(dtype)},
+            "cross_q": {"w": wcq, "b": bcq},
+            "cross_o": {"w": ca["o"]["w"].astype(dtype),
+                        "b": ca["o"]["b"].astype(dtype)},
+            "w_f1": wf1, "b_f1": bf1,
+            "w_f2": ff["out"]["w"].astype(dtype),
+            "b_f2": ff["out"]["b"].astype(dtype),
+        })
+    # Generator stays f32 (R2 parity: logits/argmax in f32) with the
+    # ln_out affine folded in.
+    gw = p_dec["ln_out"]["scale"].astype(jnp.float32)[:, None] \
+        * p_gen["w"].astype(jnp.float32)
+    gb = p_dec["ln_out"]["bias"].astype(jnp.float32) @ p_gen["w"].astype(jnp.float32) \
+        + p_gen["b"].astype(jnp.float32)
+    return {"layers": layers, "gen_w": gw, "gen_b": gb}
+
+
+def prepare_decode_params(params, cfg: ModelConfig, dtype):
+    """Augment `params` with the folded lean-decode weights (transformer
+    greedy/sampling path).  Call OUTSIDE the decode while_loop; the body
+    closes over the result."""
+    if cfg.decoder_type != "transformer" or not cfg.lean_step:
+        return params
+    return {**params,
+            "_lean": fold_lean_params(params["decoder"], params["generator"],
+                                      cfg, dtype)}
+
+
+def _transformer_decoder_step_lean(lean, cfg: ModelConfig, y1, state):
+    """Lean one-token decode (folded weights).  Returns the FINAL
+    normalized hidden WITHOUT the ln_out affine (folded into the
+    generator): (hidden (B, 1, D), (None, amax), new_state)."""
+    step = state["step"]
+    tmax = cfg.max_decode_len
+    b = y1.shape[0]
+    nh, dh = cfg.dec_heads, cfg.d_model // cfg.dec_heads
+    d = nh * dh
+    pos = jnp.arange(tmax)
+    self_mask = (pos <= step)[None, None, None, :]
+    new_layers = []
+    amax = None
+    for ll, cache in zip(lean["layers"], state["layers"]):
+        h = _ln_normalize(y1)                               # (B, 1, D)
+        qkv = h @ ll["w_qkv"] + ll["b_qkv"]                 # (B, 1, 3D)
+        q1 = qkv[..., :d]
+        k1 = nn._split_heads(qkv[..., d:2 * d], nh)
+        v1 = nn._split_heads(qkv[..., 2 * d:], nh)
+        self_k = jax.lax.dynamic_update_slice_in_dim(cache["self_k"], k1, step, axis=1)
+        self_v = jax.lax.dynamic_update_slice_in_dim(cache["self_v"], v1, step, axis=1)
+        # The barrier pins the carried caches to their storage dtype:
+        # without it XLA hoists the scores-einsum f32 upcast INTO the
+        # loop carry, doubling self-cache HBM traffic (seen in the
+        # device trace as f32[B,T,H,dh] carries).
+        kb, vb = jax.lax.optimization_barrier((self_k, self_v))
+        a, _ = nn.attention_core(nn._split_heads(q1, nh), kb, vb, self_mask)
+        y1 = y1 + nn.dense(ll["self_o"], nn._merge_heads(a))
+        h = _ln_normalize(y1)
+        a, _probs, am = _attn_step(
+            {"q": ll["cross_q"], "o": ll["cross_o"]}, nh, h,
+            cache["cross_k"], cache["cross_v"], state["cross_mask"],
+            state["mem_lengths"], cfg.use_pallas,
+            k_scale=cache.get("cross_k_scale"),
+            v_scale=cache.get("cross_v_scale"),
+        )
+        if am is not None:
+            amax = am
+        elif _probs is not None:  # XLA fallback: head-mean argmax
+            pm = jnp.mean(_probs[:, :, 0, :].astype(jnp.float32), axis=1)
+            amax = jnp.argmax(pm, axis=-1).astype(jnp.int32)
+        y1 = y1 + a
+        h = _ln_normalize(y1)
+        y1 = y1 + jax.nn.relu(h @ ll["w_f1"] + ll["b_f1"]) @ ll["w_f2"] + ll["b_f2"]
+        new_layers.append({**cache, "self_k": self_k, "self_v": self_v})
+    out = _ln_normalize(y1)  # ln_out affine lives in the folded generator
+    new_state = {**state, "layers": new_layers, "step": step + 1}
+    return out, (None, amax), new_state
+
+
 def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
     """One-token decode. y1: (B, 1, D) embedded current token.
     Returns (hidden (B, 1, D), cross-attn probs (B, H, 1, S) or None

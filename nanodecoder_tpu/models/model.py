@@ -137,6 +137,19 @@ def decode_step(params, cfg: ModelConfig, tokens, state, return_attn: bool = Fal
     attention mass.  The Pallas attention path never materializes the
     probabilities, so return_attn forces the XLA attention path."""
     y1 = _embed_tokens(params, cfg, tokens[:, None], positions=state["step"])
+    if (cfg.decoder_type == "transformer" and "_lean" in params
+            and not return_attn and "fusedw" not in state):
+        # Lean decode path: LN affines/biases folded into the matmuls,
+        # fused QKV, f32 generator with ln_out folded in (see
+        # models/decoder.fold_lean_params).  The folded pytree was
+        # attached OUTSIDE the decode loop by prepare_decode_params.
+        lean = params["_lean"]
+        hidden, (_, attn_pos), new_state = dec._transformer_decoder_step_lean(
+            lean, cfg, y1, state
+        )
+        logits = hidden[:, 0, :].astype(jnp.float32) @ lean["gen_w"] + lean["gen_b"]
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        return log_probs, attn_pos, new_state
     if cfg.decoder_type == "transformer":
         import dataclasses as _dc
 

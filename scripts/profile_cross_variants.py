@@ -39,6 +39,49 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+def make_vpu_kernel(block_b: int, n_heads: int = 8):
+    """VPU formulation: one-token attention is a matvec — the MXU
+    block-diagonal matmuls run at ~1% utilization (N=8 of 128 lanes in
+    scores, M=8 in the PV product).  Scores: elementwise K*q + per-head
+    lane-slice reductions; output: per-lane prob expansion + sublane
+    reduction over T.  No MXU passes at all."""
+
+    def kernel(len_ref, q_ref, k_ref, v_ref, o_ref, amax_ref):
+        t, d = k_ref.shape[1], k_ref.shape[2]
+        dh = d // n_heads
+        scale = 1.0 / math.sqrt(dh)
+        blk = pl.program_id(0)
+        tt_ids = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+
+        for r in range(block_b):
+            valid = len_ref[blk * block_b + r]
+            q = q_ref[r].astype(jnp.float32)          # (D,)
+            k = k_ref[r]                              # (T, D) bf16
+            v = v_ref[r]
+            prod = k.astype(jnp.float32) * q[None, :]  # fused convert+mul
+            mask_t = tt_ids < valid                   # (T, 1)
+            # Per-head scores: lane-slice reductions -> 8 x (T, 1).
+            sc = [jnp.sum(prod[:, h * dh:(h + 1) * dh], axis=1, keepdims=True)
+                  * scale for h in range(n_heads)]
+            pm_sum = None
+            p_lanes = []
+            for h in range(n_heads):
+                s_h = jnp.where(mask_t, sc[h], NEG_INF)
+                m = jnp.max(s_h, axis=0, keepdims=True)
+                e = jnp.exp(s_h - m)
+                z = jnp.sum(e, axis=0, keepdims=True)
+                p_h = e / z                           # (T, 1)
+                pm_sum = p_h if pm_sum is None else pm_sum + p_h
+                p_lanes.append(jnp.broadcast_to(p_h, (t, dh)))
+            p_lane = jnp.concatenate(p_lanes, axis=1)  # (T, D)
+            out = jnp.sum(v.astype(jnp.float32) * p_lane, axis=0)  # (D,)
+            o_ref[r, :] = out.astype(o_ref.dtype)
+            pm_max = jnp.max(pm_sum, axis=0, keepdims=True)
+            amax_ref[r, 0] = jnp.min(jnp.where(pm_sum >= pm_max, tt_ids, 2 ** 30))
+
+    return kernel
+
+
 def make_kernel(block_b: int, *, amax: bool = True, softmax: bool = True,
                 batched: bool = False, f32cast: bool = False, pv_bf16: bool = True,
                 n_heads: int = 8):
@@ -172,13 +215,17 @@ def main():
         "v_f32cast": (8, dict(f32cast=True)),
         "v_pvf32": (8, dict(pv_bf16=False)),
     }
+    variants["v_vpu"] = (8, dict(vpu=True))
+    variants["v_vpu16"] = (16, dict(vpu=True))
     if args.only:
-        names = args.only.split(",")
-        variants = {n: variants[n] for n in names}
+        variants = {n: v for n, v in variants.items() if n in args.only.split(",")}
 
     for name, (block_b, kw) in variants.items():
         try:
-            kern = make_kernel(block_b, n_heads=args.heads, **kw)
+            if kw.get("vpu"):
+                kern = make_vpu_kernel(block_b, n_heads=args.heads)
+            else:
+                kern = make_kernel(block_b, n_heads=args.heads, **kw)
             call = build(kern, b, t, d, block_b, dtype)
 
             @jax.jit
