@@ -25,6 +25,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--data", default="", help="preprocessed .npz shard dir "
                     "(default: synthetic simulator)")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--init-npz", default="",
+                    help="initialize params from a save_params_npz export "
+                         "(shapes must match --config; e.g. a GQA warm start "
+                         "from scripts/make_gqa_flagship.py)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--metrics", default="", help="JSONL metrics path")
     ap.add_argument("--tensorboard", default="",
@@ -78,6 +82,11 @@ def main(argv=None) -> int:
         )
 
     params = init_model(jax.random.PRNGKey(config.train.seed), config.model)
+    if args.init_npz:
+        from nanodecoder_tpu.train.checkpoint import load_params_npz
+
+        params = load_params_npz(args.init_npz, params)
+        log.info("initialized params from %s", args.init_npz)
     log.info("model: %.2fM params", param_count(params) / 1e6)
 
     plan = make_mesh_plan(config.mesh) if jax.device_count() > 1 else None

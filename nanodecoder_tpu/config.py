@@ -60,6 +60,14 @@ class ModelConfig:
     decoder_type: str = "transformer"  # "transformer" | "rnn"
     dec_layers: int = 3
     dec_heads: int = 8
+    # Decoder K/V head count (GQA/MQA, TPU-first design): the decode
+    # loop is HBM-bound on K/V cache reads (docs/PERF.md roofline);
+    # sharing K/V across query-head groups divides that traffic by
+    # dec_heads/dec_kv_heads (8x for MQA) at equal query capacity.
+    # 0 = dec_heads (standard MHA).  Applies to the transformer
+    # decoder's self- AND cross-attention; the encoder keeps MHA (its
+    # attention is a batch matmul, not cache-bound).
+    dec_kv_heads: int = 0
     dec_ffn_dim: int = 1024
     rnn_attention: str = "general"      # Luong score for the RNN path: dot|general|mlp
     # --- common ---
@@ -105,6 +113,13 @@ class ModelConfig:
     def head_dim(self) -> int:
         assert self.d_model % self.enc_heads == 0
         return self.d_model // self.enc_heads
+
+    @property
+    def dec_kv(self) -> int:
+        """Resolved decoder K/V head count (0 -> dec_heads = MHA)."""
+        kv = self.dec_kv_heads or self.dec_heads
+        assert self.dec_heads % kv == 0, "dec_heads must be divisible by dec_kv_heads"
+        return kv
 
 
 @dataclasses.dataclass(frozen=True)

@@ -46,9 +46,11 @@ def init_transformer_decoder(key, cfg: ModelConfig):
         layers.append(
             {
                 "ln1": nn.init_layer_norm(cfg.d_model),
-                "self_attn": nn.init_mha(k1, cfg.d_model, cfg.dec_heads),
+                "self_attn": nn.init_mha(k1, cfg.d_model, cfg.dec_heads,
+                                         kv_heads=cfg.dec_kv),
                 "ln2": nn.init_layer_norm(cfg.d_model),
-                "cross_attn": nn.init_mha(k2, cfg.d_model, cfg.dec_heads),
+                "cross_attn": nn.init_mha(k2, cfg.d_model, cfg.dec_heads,
+                                          kv_heads=cfg.dec_kv),
                 "ln3": nn.init_layer_norm(cfg.d_model),
                 "ffn": nn.init_ffn(k3, cfg.d_model, cfg.dec_ffn_dim),
             }
@@ -73,10 +75,12 @@ def transformer_decoder_forced(p, cfg: ModelConfig, y, memory, mem_lengths,
         if train and rng is not None:
             rng, r1, r2, r3 = jax.random.split(rng, 4)
         h = nn.layer_norm(layer["ln1"], y)
-        a, _ = nn.mha(layer["self_attn"], cfg.dec_heads, h, h, self_mask)
+        a, _ = nn.mha(layer["self_attn"], cfg.dec_heads, h, h, self_mask,
+                      kv_heads=cfg.dec_kv)
         y = y + nn.dropout(a, cfg.dropout, r1, train)
         h = nn.layer_norm(layer["ln2"], y)
-        a, attn_probs = nn.mha(layer["cross_attn"], cfg.dec_heads, h, memory, cross_mask)
+        a, attn_probs = nn.mha(layer["cross_attn"], cfg.dec_heads, h, memory,
+                               cross_mask, kv_heads=cfg.dec_kv)
         y = y + nn.dropout(a, cfg.dropout, r2, train)
         h = nn.layer_norm(layer["ln3"], y)
         f = nn.ffn(layer["ffn"], h, cfg.dropout, r3, train)
@@ -98,14 +102,15 @@ def init_transformer_cache(p, cfg: ModelConfig, memory, mem_lengths, batch: int,
     for all K beams (1/K the cross traffic, the beam decode's dominant
     HBM cost — docs/PERF.md roofline)."""
     tmax = cfg.max_decode_len
-    h, dh = cfg.dec_heads, cfg.d_model // cfg.dec_heads
+    hk, dh = cfg.dec_kv, cfg.d_model // cfg.dec_heads
     layers = []
     quant = cfg.cross_cache_int8
     for layer in p["layers"]:
-        ck, cv = nn.mha_project_kv(layer["cross_attn"], cfg.dec_heads, memory)
+        ck, cv = nn.mha_project_kv(layer["cross_attn"], cfg.dec_heads, memory,
+                                   kv_heads=hk)
         entry = {
-            "self_k": jnp.zeros((batch * beam_k, tmax, h, dh), dtype),
-            "self_v": jnp.zeros((batch * beam_k, tmax, h, dh), dtype),
+            "self_k": jnp.zeros((batch * beam_k, tmax, hk, dh), dtype),
+            "self_v": jnp.zeros((batch * beam_k, tmax, hk, dh), dtype),
         }
         if quant:
             # int8 storage with per-(row, lane) scales: the decode
@@ -115,11 +120,11 @@ def init_transformer_cache(p, cfg: ModelConfig, memory, mem_lengths, batch: int,
             from nanodecoder_tpu.ops.attention import quantize_cache_int8
 
             b_, s_, _, _ = ck.shape
-            d = h * dh
-            kq, ks = quantize_cache_int8(ck.reshape(b_, s_, d))
-            vq, vs = quantize_cache_int8(cv.reshape(b_, s_, d))
-            entry.update(cross_k=kq.reshape(b_, s_, h, dh),
-                         cross_v=vq.reshape(b_, s_, h, dh),
+            dk = hk * dh
+            kq, ks = quantize_cache_int8(ck.reshape(b_, s_, dk))
+            vq, vs = quantize_cache_int8(cv.reshape(b_, s_, dk))
+            entry.update(cross_k=kq.reshape(b_, s_, hk, dh),
+                         cross_v=vq.reshape(b_, s_, hk, dh),
                          cross_k_scale=ks, cross_v_scale=vs)
         else:
             entry.update(cross_k=ck, cross_v=cv)
@@ -131,7 +136,8 @@ def init_transformer_cache(p, cfg: ModelConfig, memory, mem_lengths, batch: int,
         "mem_lengths": mem_lengths.astype(jnp.int32),
         "step": jnp.zeros((), jnp.int32),
     }
-    if cfg.use_pallas and cfg.fused_step and beam_k == 1 and not quant:
+    if (cfg.use_pallas and cfg.fused_step and beam_k == 1 and not quant
+            and cfg.dec_kv == cfg.dec_heads):
         # Fused-layer decode path (ops/decoder_layer.py): pre-fuse each
         # layer's weights ONCE per decode program (QKV concat + dtype
         # casts) so the while_loop body calls one Pallas program per
@@ -154,9 +160,14 @@ def _attn_step(attn_params, n_heads, h, k_cache, v_cache, mask4d, valid_lens,
     ((B, D)) mark int8-quantized caches.  Returns (out, probs_or_None,
     argmax_or_None): the Pallas kernel never materializes probs but
     emits the head-mean argmax position directly."""
-    b, t, nh, dh = k_cache.shape
+    b, t, nh, dh = k_cache.shape  # nh = KV head count (GQA: <= n_heads)
     group = h.shape[0] // b
     d = nh * dh
+    # Kernel coverage: both kernels handle GQA/MQA (q heads > cache
+    # heads); the int8 scale fold is MHA-only — that combination takes
+    # the XLA fallback (attention_core repeats KV heads).
+    if nh != n_heads and k_scale is not None:
+        use_pallas = False
     if use_pallas:
         from nanodecoder_tpu.ops.attention import (decode_attention,
                                                    decode_attention_grouped)
@@ -322,10 +333,11 @@ def _transformer_decoder_step_lean(lean, cfg: ModelConfig, y1, state):
     amax = None
     for ll, cache in zip(lean["layers"], state["layers"]):
         h = _ln_normalize(y1)                               # (B, 1, D)
-        qkv = h @ ll["w_qkv"] + ll["b_qkv"]                 # (B, 1, 3D)
+        qkv = h @ ll["w_qkv"] + ll["b_qkv"]                 # (B, 1, D+2Dk)
+        dk = cfg.dec_kv * dh
         q1 = qkv[..., :d]
-        k1 = nn._split_heads(qkv[..., d:2 * d], nh)
-        v1 = nn._split_heads(qkv[..., 2 * d:], nh)
+        k1 = nn._split_heads(qkv[..., d:d + dk], cfg.dec_kv)
+        v1 = nn._split_heads(qkv[..., d + dk:], cfg.dec_kv)
         self_k = jax.lax.dynamic_update_slice_in_dim(cache["self_k"], k1, step, axis=1)
         self_v = jax.lax.dynamic_update_slice_in_dim(cache["self_v"], v1, step, axis=1)
         # The barrier pins the carried caches to their storage dtype:
@@ -376,8 +388,8 @@ def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
     for layer, cache in zip(p["layers"], state["layers"]):
         h = nn.layer_norm(layer["ln1"], y1)
         # Project this token's K/V and write them into the cache at `step`.
-        k1 = nn._split_heads(nn.dense(layer["self_attn"]["k"], h), cfg.dec_heads)
-        v1 = nn._split_heads(nn.dense(layer["self_attn"]["v"], h), cfg.dec_heads)
+        k1 = nn._split_heads(nn.dense(layer["self_attn"]["k"], h), cfg.dec_kv)
+        v1 = nn._split_heads(nn.dense(layer["self_attn"]["v"], h), cfg.dec_kv)
         self_k = jax.lax.dynamic_update_slice_in_dim(cache["self_k"], k1, step, axis=1)
         self_v = jax.lax.dynamic_update_slice_in_dim(cache["self_v"], v1, step, axis=1)
         # Self-attention always takes the XLA path: XLA streams the

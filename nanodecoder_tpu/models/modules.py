@@ -101,12 +101,18 @@ def dropout(x, rate: float, rng, train: bool):
 # multi-head attention
 
 
-def init_mha(key, d_model: int, n_heads: int):
+def init_mha(key, d_model: int, n_heads: int, kv_heads: int | None = None):
+    """kv_heads < n_heads = GQA/MQA: K/V project to kv_heads * head_dim
+    and are shared across query-head groups (decode KV-cache traffic /
+    (n_heads/kv_heads) — the TPU decode loop is cache-bandwidth-bound,
+    docs/PERF.md roofline)."""
+    kv = kv_heads or n_heads
+    dk = d_model // n_heads * kv
     ks = jax.random.split(key, 4)
     return {
         "q": init_dense(ks[0], d_model, d_model),
-        "k": init_dense(ks[1], d_model, d_model),
-        "v": init_dense(ks[2], d_model, d_model),
+        "k": init_dense(ks[1], d_model, dk),
+        "v": init_dense(ks[2], d_model, dk),
         "o": init_dense(ks[3], d_model, d_model),
     }
 
@@ -124,37 +130,55 @@ def _merge_heads(x):
 def attention_core(q, k, v, mask=None):
     """Scaled dot-product attention.
 
-    q: (B, Tq, H, Dh), k/v: (B, Tk, H, Dh), mask: broadcastable to
-    (B, H, Tq, Tk) with 1=keep / 0=drop.  Softmax in float32 (R2).
+    q: (B, Tq, H, Dh), k/v: (B, Tk, Hk, Dh) with Hk dividing H (GQA:
+    each KV head serves a contiguous group of H/Hk query heads), mask:
+    broadcastable to (B, H, Tq, Tk) with 1=keep / 0=drop.  Softmax in
+    float32 (R2).  The GQA path uses a grouped einsum (KV heads as a
+    batch dim) — never materializes the repeated KV tensor.
     """
-    dh = q.shape[-1]
+    b, tq, hq, dh = q.shape
+    hk = k.shape[2]
+    tk = k.shape[1]
     scale = 1.0 / math.sqrt(dh)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits * scale
+    if hk == hq:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+    else:
+        g = hq // hk
+        qg = q.reshape(b, tq, hk, g, dh)
+        logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits.reshape(b, hq, tq, tk)
     if mask is not None:
         logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    if hk == hq:
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    else:
+        g = hq // hk
+        pg = probs.astype(v.dtype).reshape(b, hk, g, tq, tk)
+        out = jnp.einsum("bhgqk,bkhd->bqhgd", pg, v).reshape(b, tq, hq, dh)
     return out, probs
 
 
-def mha(p, n_heads, query, key_value, mask=None, dropout_rate=0.0, rng=None, train=False):
+def mha(p, n_heads, query, key_value, mask=None, dropout_rate=0.0, rng=None,
+        train=False, kv_heads: int | None = None):
     """Full (non-incremental) multi-head attention.
     query: (B, Tq, D); key_value: (B, Tk, D)."""
     q = _split_heads(dense(p["q"], query), n_heads)
-    k = _split_heads(dense(p["k"], key_value), n_heads)
-    v = _split_heads(dense(p["v"], key_value), n_heads)
+    k = _split_heads(dense(p["k"], key_value), kv_heads or n_heads)
+    v = _split_heads(dense(p["v"], key_value), kv_heads or n_heads)
     out, probs = attention_core(q, k, v, mask)
     out = dropout(out, dropout_rate, rng, train)
     return dense(p["o"], _merge_heads(out)), probs
 
 
-def mha_project_kv(p, n_heads, key_value):
+def mha_project_kv(p, n_heads, key_value, kv_heads: int | None = None):
     """Precompute K/V once (cross-attention setup for incremental
     decode — reference analog: the transformer decoder caching
     memory-bank projections per layer, SURVEY.md §2.1)."""
-    k = _split_heads(dense(p["k"], key_value), n_heads)
-    v = _split_heads(dense(p["v"], key_value), n_heads)
+    k = _split_heads(dense(p["k"], key_value), kv_heads or n_heads)
+    v = _split_heads(dense(p["v"], key_value), kv_heads or n_heads)
     return k, v
 
 

@@ -37,15 +37,18 @@ def decode_attention_reference(q, k_cache, v_cache, valid_lens, n_heads: int):
     """Reference semantics (pure jnp).
 
     q: (B, D) current-token queries (already projected).
-    k_cache/v_cache: (B, T, D) with D = n_heads * head_dim.
+    k_cache/v_cache: (B, T, Dk) with Dk = n_kv * head_dim (GQA/MQA:
+    n_kv <= n_heads KV heads shared across query-head groups).
     valid_lens: (B,) int32 — attend to cache positions [0, valid).
     Returns (B, D) attention output in q.dtype; softmax in f32.
     """
-    b, t, d = k_cache.shape
+    b, t, dk = k_cache.shape
+    d = q.shape[1]
     dh = d // n_heads
+    n_kv = dk // dh
     qh = q.reshape(b, n_heads, dh)
-    kh = k_cache.reshape(b, t, n_heads, dh)
-    vh = v_cache.reshape(b, t, n_heads, dh)
+    kh = jnp.repeat(k_cache.reshape(b, t, n_kv, dh), n_heads // n_kv, axis=2)
+    vh = jnp.repeat(v_cache.reshape(b, t, n_kv, dh), n_heads // n_kv, axis=2)
     scale = 1.0 / math.sqrt(dh)
     logits = jnp.einsum("bhd,bthd->bht", qh, kh, preferred_element_type=jnp.float32)
     logits = logits * scale
@@ -62,8 +65,11 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
         ks_ref, vs_ref, o_ref, amax_ref = rest
     else:
         o_ref, amax_ref = rest
-    t, d = k_ref.shape[1], k_ref.shape[2]
+    t, dk = k_ref.shape[1], k_ref.shape[2]
+    d = q_ref.shape[1]
     dh = d // n_heads
+    n_kv = dk // dh           # GQA/MQA: cache holds n_kv <= n_heads heads
+    kv_group = n_heads // n_kv
     scale = 1.0 / math.sqrt(dh)
     blk = pl.program_id(0)
 
@@ -85,8 +91,25 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
         v = v_ref[r]                      # (T, D)
 
         # Block-diagonal query matrix: qmat[i, h] = q[i] if i//dh == h,
-        # so all heads' scores come from ONE (T,D)x(D,H) MXU matmul.
-        qmat = jnp.where(i_ids // dh == h_ids, q.reshape(d, 1), 0.0)
+        # so all heads' scores come from ONE (T,Dk)x(Dk,H) MXU matmul.
+        # GQA: query head h's slice lands on its KV head's (h//group)
+        # dh-lane block — built per head with static slices/concat.
+        if n_kv == n_heads:
+            qmat = jnp.where(i_ids // dh == h_ids, q.reshape(d, 1), 0.0)
+        else:
+            cols = []
+            for hh in range(n_heads):
+                kv = hh // kv_group
+                piece = q[hh * dh:(hh + 1) * dh]
+                segs = []
+                if kv > 0:
+                    segs.append(jnp.zeros((kv * dh,), jnp.float32))
+                segs.append(piece)
+                if dk - (kv + 1) * dh > 0:
+                    segs.append(jnp.zeros((dk - (kv + 1) * dh,), jnp.float32))
+                col = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+                cols.append(col.reshape(dk, 1))
+            qmat = jnp.concatenate(cols, axis=1)          # (Dk, H)
         if quantized:
             # Fold the int8 K dequant scales into the query matrix.
             # int8 is not an MXU input dtype and the fold must stay
@@ -119,12 +142,23 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
         # Probs cast to the V dtype (== the XLA path: attention_core
         # does probs.astype(v.dtype) before the PV einsum).
         oh = jnp.dot(p.T.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)  # (H, D)
-        out = jnp.sum(memb * oh, axis=0)                     # (D,)
-        if quantized:
-            # Fold the int8 V dequant scales into the output lanes.
-            out = out * vs_ref[r].astype(jnp.float32)
-        o_ref[r, :] = out.astype(o_ref.dtype)
+                     preferred_element_type=jnp.float32)  # (H, Dk)
+        if n_kv == n_heads:
+            out = jnp.sum(memb * oh, axis=0)                 # (D,)
+            if quantized:
+                # Fold the int8 V dequant scales into the output lanes.
+                out = out * vs_ref[r].astype(jnp.float32)
+            o_ref[r, :] = out.astype(o_ref.dtype)
+        else:
+            # GQA: head h's output is its KV head's dh-lane block of
+            # oh[h] — select per KV group, emit (H, dh); the wrapper's
+            # 3-D output reshapes to (B, D) for free outside.
+            kv_ids = jax.lax.broadcasted_iota(jnp.int32, (n_heads, dh), 0) // kv_group
+            out_h = jnp.zeros((n_heads, dh), jnp.float32)
+            for g in range(n_kv):
+                out_h = out_h + jnp.where(kv_ids == g,
+                                          oh[:, g * dh:(g + 1) * dh], 0.0)
+            o_ref[r] = out_h.astype(o_ref.dtype)
 
 
 def quantize_cache_int8(x):
@@ -155,9 +189,10 @@ def decode_attention_grouped_reference(q, k_cache, v_cache, valid_lens,
     """Reference semantics for beam-grouped decode attention.
 
     q: (B*group, D) — `group` consecutive rows (the beams of one chunk)
-    share the SAME cache row.  k_cache/v_cache: (B, T, D);
-    valid_lens: (B,).  Equivalent to tiling the caches `group`-wise and
-    calling decode_attention_reference.
+    share the SAME cache row.  k_cache/v_cache: (B, T, Dk) with
+    Dk = n_kv * head_dim (GQA supported); valid_lens: (B,).  Equivalent
+    to tiling the caches `group`-wise and calling
+    decode_attention_reference.
     """
     b = k_cache.shape[0]
     k_t = jnp.repeat(k_cache, group, axis=0)
@@ -180,8 +215,11 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
         ks_ref, vs_ref, o_ref, amax_ref = rest
     else:
         o_ref, amax_ref = rest
-    t, d = k_ref.shape[1], k_ref.shape[2]
+    t, dk = k_ref.shape[1], k_ref.shape[2]
+    d = q_ref.shape[2]
     dh = d // n_heads
+    n_kv = dk // dh           # GQA/MQA: cache holds n_kv <= n_heads heads
+    kv_group = n_heads // n_kv
     gh = group * n_heads
     scale = 1.0 / math.sqrt(dh)
     blk = pl.program_id(0)
@@ -190,21 +228,40 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
     q = q_ref[0].astype(jnp.float32)                      # (G, D)
     # K/V stay in storage dtype (MXU takes bf16 with f32 accumulation);
     # the quantized path upcasts below to keep the scale fold exact.
-    k = k_ref[0]                                          # (T, D)
-    v = v_ref[0]                                          # (T, D)
+    k = k_ref[0]                                          # (T, Dk)
+    v = v_ref[0]                                          # (T, Dk)
 
-    i_ids = jax.lax.broadcasted_iota(jnp.int32, (d, gh), 0)
-    j_ids = jax.lax.broadcasted_iota(jnp.int32, (d, gh), 1)
-    # qmat[i, j] = q[j // H, i] when i's head == j's head else 0.
-    # Built by an unrolled select over the (small) group dim — Mosaic's
-    # gather lowering rejects take_along_axis with broadcast shapes.
-    qsel = jnp.zeros((d, gh), jnp.float32)
-    for g in range(group):
-        qsel = qsel + jnp.where(j_ids // n_heads == g, q[g].reshape(d, 1), 0.0)
-    qmat = jnp.where(i_ids // dh == j_ids % n_heads, qsel, 0.0)
+    if n_kv == n_heads:
+        i_ids = jax.lax.broadcasted_iota(jnp.int32, (d, gh), 0)
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, (d, gh), 1)
+        # qmat[i, j] = q[j // H, i] when i's head == j's head else 0.
+        # Built by an unrolled select over the (small) group dim —
+        # Mosaic's gather lowering rejects take_along_axis with
+        # broadcast shapes.
+        qsel = jnp.zeros((d, gh), jnp.float32)
+        for g in range(group):
+            qsel = qsel + jnp.where(j_ids // n_heads == g, q[g].reshape(d, 1), 0.0)
+        qmat = jnp.where(i_ids // dh == j_ids % n_heads, qsel, 0.0)
+    else:
+        # GQA: column j = (beam j//H, head h=j%H); rows = the head's
+        # KV block lanes.  Static per-column construction (Dk, GH).
+        cols = []
+        for g in range(group):
+            for hh in range(n_heads):
+                kv = hh // kv_group
+                piece = q[g, hh * dh:(hh + 1) * dh]
+                segs = []
+                if kv > 0:
+                    segs.append(jnp.zeros((kv * dh,), jnp.float32))
+                segs.append(piece)
+                if dk - (kv + 1) * dh > 0:
+                    segs.append(jnp.zeros((dk - (kv + 1) * dh,), jnp.float32))
+                col = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+                cols.append(col.reshape(dk, 1))
+        qmat = jnp.concatenate(cols, axis=1)              # (Dk, GH)
     if quantized:
         # Fold the int8 K dequant scales into the query matrix: exact.
-        qmat = qmat * ks_ref[0].astype(jnp.float32).reshape(d, 1)
+        qmat = qmat * ks_ref[0].astype(jnp.float32).reshape(dk, 1)
         k = k.astype(jnp.float32)
         v = v.astype(jnp.float32)
     else:
@@ -244,11 +301,23 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
     # reshape, see above): mask rows to their own head's lanes, then
     # segment-sum the H rows of each beam with beam_sel.T.
     oh = jnp.dot(p.T.astype(v.dtype), v,
-                 preferred_element_type=jnp.float32)           # (GH, D)
-    j_row = jax.lax.broadcasted_iota(jnp.int32, (gh, d), 0)
-    lane_hh = jax.lax.broadcasted_iota(jnp.int32, (gh, d), 1) // dh
-    memb_big = (j_row % n_heads == lane_hh).astype(jnp.float32)  # (GH, D)
-    out = jnp.dot(beam_sel.T, oh * memb_big,
+                 preferred_element_type=jnp.float32)           # (GH, Dk)
+    if n_kv == n_heads:
+        j_row = jax.lax.broadcasted_iota(jnp.int32, (gh, d), 0)
+        lane_hh = jax.lax.broadcasted_iota(jnp.int32, (gh, d), 1) // dh
+        memb_big = (j_row % n_heads == lane_hh).astype(jnp.float32)  # (GH, D)
+        oh_big = oh * memb_big
+    else:
+        # GQA: move row j's KV-block lanes to its head block, masked to
+        # rows of that head (static lane slices + concat -> (GH, D)).
+        j_row1 = jax.lax.broadcasted_iota(jnp.int32, (gh, dh), 0)
+        pieces = []
+        for hh in range(n_heads):
+            kv = hh // kv_group
+            pieces.append(jnp.where(j_row1 % n_heads == hh,
+                                    oh[:, kv * dh:(kv + 1) * dh], 0.0))
+        oh_big = jnp.concatenate(pieces, axis=1)                 # (GH, D)
+    out = jnp.dot(beam_sel.T, oh_big,
                   preferred_element_type=jnp.float32)            # (G, D)
     if quantized:
         # Fold the int8 V dequant scales into the output lanes: exact.
@@ -266,20 +335,22 @@ def decode_attention_grouped(q, k_cache, v_cache, valid_lens, n_heads: int,
     k_scale/v_scale ((B, D) f32), the caches are int8 and the dequant
     scales fold into the query matrix / output lanes.  Returns
     ((B*group, D) out, (B*group,) argmax positions)."""
-    b, t, d = k_cache.shape
-    qg = q.reshape(b, group, d)
+    b, t, dk = k_cache.shape
+    d = q.shape[1]
     quantized = k_scale is not None
+    assert not (quantized and dk != d), "int8 + GQA: use the XLA fallback"
+    qg = q.reshape(b, group, d)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B,) valid_lens
         pl.BlockSpec((1, group, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, dk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, dk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
     args = [valid_lens.astype(jnp.int32), qg, k_cache, v_cache]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dk), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
         args += [k_scale, v_scale]
     out, amax = pl.pallas_call(
@@ -297,8 +368,8 @@ def decode_attention_grouped(q, k_cache, v_cache, valid_lens, n_heads: int,
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * t * d * 2 * group,
-            bytes_accessed=b * t * d * 2 * k_cache.dtype.itemsize
+            flops=2 * b * t * dk * 2 * group,
+            bytes_accessed=b * t * dk * 2 * k_cache.dtype.itemsize
             + b * group * d * 2,
             transcendentals=b * t * group * n_heads,
         ),
@@ -318,41 +389,55 @@ def decode_attention(q, k_cache, v_cache, valid_lens, n_heads: int,
     HBM->VMEM once with double-buffered DMAs; valid_lens lives whole in
     SMEM (rank-1 *blocked* SMEM specs are rejected by the Mosaic
     lowering — observed at batch 128)."""
-    b, t, d = k_cache.shape
+    b, t, dk = k_cache.shape
+    d = q.shape[1]
+    dh = d // n_heads
+    n_kv = dk // dh
     block_b = 8 if b % 8 == 0 else (4 if b % 4 == 0 else (2 if b % 2 == 0 else 1))
     grid = (b // block_b,)
     quantized = k_scale is not None
+    assert not (quantized and n_kv != n_heads), "int8 + GQA: use the XLA fallback"
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B,) valid_lens
         pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_b, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_b, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, t, dk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, t, dk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
     args = [valid_lens.astype(jnp.int32), q, k_cache, v_cache]
     if quantized:
         in_specs += [
-            pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, dk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, dk), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
         args += [k_scale, v_scale]
+    if n_kv == n_heads:
+        out_spec = pl.BlockSpec((block_b, d), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape0 = jax.ShapeDtypeStruct((b, d), q.dtype)
+    else:
+        # GQA emits per-row (H, dh) blocks (a sublane->lane flatten is
+        # not a supported in-kernel reshape); flattened for free below.
+        out_spec = pl.BlockSpec((block_b, n_heads, dh), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape0 = jax.ShapeDtypeStruct((b, n_heads, dh), q.dtype)
     out, amax = pl.pallas_call(
         functools.partial(_decode_attn_kernel, n_heads=n_heads,
                           block_b=block_b, quantized=quantized),
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_spec,
             pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, d), q.dtype),
+            out_shape0,
             jax.ShapeDtypeStruct((b, 1), jnp.int32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * t * d * 2,
-            bytes_accessed=b * t * d * 2 * k_cache.dtype.itemsize + b * d * 2,
+            flops=2 * b * t * dk * 2,
+            bytes_accessed=b * t * dk * 2 * k_cache.dtype.itemsize + b * d * 2,
             transcendentals=b * t * n_heads,
         ),
     )(*args)
-    return out, amax[:, 0]
+    return out.reshape(b, d), amax[:, 0]

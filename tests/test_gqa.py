@@ -1,0 +1,140 @@
+"""GQA/MQA decoder attention (ModelConfig.dec_kv_heads).
+
+TPU-first design lever: the decode loop is KV-cache-bandwidth-bound
+(docs/PERF.md roofline); sharing K/V across query-head groups divides
+that traffic by dec_heads/dec_kv_heads.  Ladder: kernel vs jnp
+reference (interpret), full greedy/beam token parity across the lean /
+per-op Pallas / XLA paths (f32), teacher-forced gradients, and the
+head-averaging warm-start conversion."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanodecoder_tpu.config import DecodeConfig, ModelConfig
+from nanodecoder_tpu.models.model import decode_teacher_forced, init_model
+
+
+def _cfg(nkv, **kw):
+    base = dict(d_model=64, enc_layers=1, dec_layers=2, dec_heads=4,
+                dec_kv_heads=nkv, dec_ffn_dim=128, enc_ffn_dim=128,
+                max_decode_len=24, compute_dtype="float32",
+                use_pallas=True, lean_step=True)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+@pytest.mark.parametrize("nkv", [1, 2, 4])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_decode_attention_gqa_matches_reference(nkv, dtype, rng_np):
+    from nanodecoder_tpu.ops.attention import (decode_attention,
+                                               decode_attention_reference)
+
+    b, t, heads, dh = 4, 24, 4, 16
+    d, dk = heads * dh, nkv * dh
+    q = jnp.asarray(rng_np.normal(size=(b, d)), dtype)
+    k = jnp.asarray(rng_np.normal(size=(b, t, dk)), dtype)
+    v = jnp.asarray(rng_np.normal(size=(b, t, dk)), dtype)
+    vl = jnp.asarray(rng_np.integers(1, t + 1, size=(b,)), jnp.int32)
+    ref = decode_attention_reference(q, k, v, vl, heads)
+    got, _amax = decode_attention(q, k, v, vl, heads, interpret=True)
+    atol = 1e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=atol, rtol=1e-2)
+
+
+@pytest.mark.parametrize("nkv", [1, 2])
+def test_gqa_greedy_token_parity_across_paths(nkv, rng_np):
+    from nanodecoder_tpu.decode.greedy import greedy_decode
+
+    cfg = _cfg(nkv)
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    b, s = 4, 20
+    memory = jnp.asarray(rng_np.normal(size=(b, s, cfg.d_model)) * 0.5, jnp.float32)
+    lens = jnp.asarray([20, 15, 8, 20], jnp.int32)
+    g_lean = greedy_decode(params, cfg, memory, lens)
+    g_pallas = greedy_decode(params, dataclasses.replace(cfg, lean_step=False),
+                             memory, lens)
+    g_xla = greedy_decode(
+        params, dataclasses.replace(cfg, lean_step=False, use_pallas=False),
+        memory, lens)
+    for other in (g_pallas, g_xla):
+        for name in ("tokens", "lengths", "attn_pos"):
+            np.testing.assert_array_equal(np.asarray(getattr(g_lean, name)),
+                                          np.asarray(getattr(other, name)))
+
+
+@pytest.mark.parametrize("nkv", [1, 2])
+def test_gqa_beam_parity_and_cache_shape(nkv, rng_np):
+    from nanodecoder_tpu.decode.beam import beam_decode
+    from nanodecoder_tpu.models.model import init_decode_state
+
+    cfg = _cfg(nkv)
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    b, s = 3, 16
+    memory = jnp.asarray(rng_np.normal(size=(b, s, cfg.d_model)) * 0.5, jnp.float32)
+    lens = jnp.full((b,), s, jnp.int32)
+    st = init_decode_state(params, cfg, memory, lens)
+    dh = cfg.d_model // cfg.dec_heads
+    assert st["layers"][0]["self_k"].shape == (b, cfg.max_decode_len, nkv, dh)
+    assert st["layers"][0]["cross_k"].shape == (b, s, nkv, dh)
+    dcfg = DecodeConfig(beam_size=3, max_len=24, use_pallas=True)
+    b1 = beam_decode(params, cfg, dcfg, memory, lens)
+    b2 = beam_decode(params,
+                     dataclasses.replace(cfg, use_pallas=False, lean_step=False),
+                     dcfg, memory, lens)
+    np.testing.assert_array_equal(np.asarray(b1.tokens), np.asarray(b2.tokens))
+    np.testing.assert_allclose(np.asarray(b1.scores), np.asarray(b2.scores),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_gqa_teacher_forced_grads(rng_np):
+    """GQA training path: loss is finite and K/V grads have the reduced
+    shape."""
+    cfg = _cfg(2)
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    b, s, t = 2, 12, 6
+    memory = jnp.asarray(rng_np.normal(size=(b, s, cfg.d_model)), jnp.float32)
+    lens = jnp.full((b,), s, jnp.int32)
+    tgt = jnp.asarray(rng_np.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+
+    def loss_fn(p):
+        lp, _ = decode_teacher_forced(p, cfg, tgt, memory, lens)
+        return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], axis=-1))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gk = grads["decoder"]["layers"][0]["self_attn"]["k"]["w"]
+    assert gk.shape == (cfg.d_model, 2 * (cfg.d_model // cfg.dec_heads))
+    assert float(jnp.max(jnp.abs(gk))) > 0
+
+
+def test_mqa_warm_start_head_average(rng_np):
+    """scripts/make_gqa_flagship.py conversion: averaging KV head
+    blocks of an MHA checkpoint gives exactly the MHA output when all
+    heads are identical, and runs end-to-end otherwise."""
+    from scripts.make_gqa_flagship import convert_params
+
+    cfg = _cfg(4)  # source: MHA (4 heads)
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    tgt_cfg = dataclasses.replace(cfg, dec_kv_heads=1)
+    p2 = convert_params(params, cfg, tgt_cfg)
+    dh = cfg.d_model // cfg.dec_heads
+    k2 = p2["decoder"]["layers"][0]["self_attn"]["k"]["w"]
+    assert k2.shape == (cfg.d_model, dh)
+    # The converted KV weight is the mean of the source head blocks.
+    src = params["decoder"]["layers"][0]["self_attn"]["k"]["w"]
+    np.testing.assert_allclose(
+        np.asarray(k2),
+        np.asarray(src.reshape(cfg.d_model, cfg.dec_heads, dh).mean(axis=1)),
+        rtol=1e-6)
+    # And the converted model decodes without error.
+    from nanodecoder_tpu.decode.greedy import greedy_decode
+
+    memory = jnp.asarray(rng_np.normal(size=(2, 10, cfg.d_model)), jnp.float32)
+    lens = jnp.full((2,), 10, jnp.int32)
+    g = greedy_decode(p2, tgt_cfg, memory, lens)
+    assert g.tokens.shape == (2, cfg.max_decode_len)
