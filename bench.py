@@ -99,6 +99,9 @@ def main() -> None:
                     help="int8 cross-K/V decode caches (halves the decode "
                          "loop's dominant HBM traffic; see docs/PERF.md "
                          "roofline + identity validation)")
+    ap.add_argument("--ckpt", default="",
+                    help="params .npz to bench (default: the committed "
+                         "flagship; config.json is read from alongside)")
     ap.add_argument("--fused", action=argparse.BooleanOptionalAction, default=False,
                     help="fused decoder-layer step kernel (one Pallas program "
                          "per layer) — experimental; measured 4x SLOWER than "
@@ -141,8 +144,9 @@ def main() -> None:
     # Use the committed trained flagship when present: decode length
     # (EOS behavior) is model-dependent, and random weights terminate
     # unrealistically early — inflating samples/s.
-    ckpt_npz = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bench_results", "flagship_params.npz")
+    ckpt_npz = args.ckpt or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_results", "flagship_params.npz")
     config = Config()  # flagship defaults: d_model=256, 6+3 layers, chunk=2048
     if args.beam:
         config = dataclasses.replace(

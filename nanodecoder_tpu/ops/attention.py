@@ -66,7 +66,12 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
     else:
         o_ref, amax_ref = rest
     t, dk = k_ref.shape[1], k_ref.shape[2]
-    d = q_ref.shape[1]
+    # MHA: q_ref is (block_b, D); GQA: (block_b, H, dh) — the wrapper
+    # pre-splits heads so the kernel's query build is 2-D (transpose +
+    # sublane masks); 1-D lane slicing/concat builds abort the Mosaic
+    # layout pass.
+    gqa = q_ref.ndim == 3
+    d = n_heads * q_ref.shape[-1] if gqa else q_ref.shape[1]
     dh = d // n_heads
     n_kv = dk // dh           # GQA/MQA: cache holds n_kv <= n_heads heads
     kv_group = n_heads // n_kv
@@ -81,35 +86,27 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
 
     for r in range(block_b):  # unrolled over the row block
         valid = len_ref[blk * block_b + r]
-        q = q_ref[r].astype(jnp.float32)  # (D,)
         # K/V stay in their storage dtype: the MXU takes bf16 (or the
         # f32 parity mode's f32) inputs directly with f32 accumulation.
         # An .astype(f32) here materializes a (T, D) VPU copy per row —
         # measured as the dominant cross-attention cost at batch 256
         # (673 us/step vs the ~245 us HBM floor, profile_step_ablation).
-        k = k_ref[r]                      # (T, D) storage dtype
-        v = v_ref[r]                      # (T, D)
+        k = k_ref[r]                      # (T, Dk) storage dtype
+        v = v_ref[r]                      # (T, Dk)
 
         # Block-diagonal query matrix: qmat[i, h] = q[i] if i//dh == h,
         # so all heads' scores come from ONE (T,Dk)x(Dk,H) MXU matmul.
         # GQA: query head h's slice lands on its KV head's (h//group)
-        # dh-lane block — built per head with static slices/concat.
+        # dh-lane block — qr.T masked per KV group, sublane-concat.
         if n_kv == n_heads:
+            q = q_ref[r].astype(jnp.float32)  # (D,)
             qmat = jnp.where(i_ids // dh == h_ids, q.reshape(d, 1), 0.0)
         else:
-            cols = []
-            for hh in range(n_heads):
-                kv = hh // kv_group
-                piece = q[hh * dh:(hh + 1) * dh]
-                segs = []
-                if kv > 0:
-                    segs.append(jnp.zeros((kv * dh,), jnp.float32))
-                segs.append(piece)
-                if dk - (kv + 1) * dh > 0:
-                    segs.append(jnp.zeros((dk - (kv + 1) * dh,), jnp.float32))
-                col = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
-                cols.append(col.reshape(dk, 1))
-            qmat = jnp.concatenate(cols, axis=1)          # (Dk, H)
+            qr_t = q_ref[r].astype(jnp.float32).T          # (dh, H)
+            col_kv = jax.lax.broadcasted_iota(jnp.int32, (dh, n_heads), 1) // kv_group
+            blocks = [jnp.where(col_kv == g, qr_t, 0.0) for g in range(n_kv)]
+            qmat = blocks[0] if n_kv == 1 else jnp.concatenate(blocks, axis=0)
+            q = None  # (Dk, H) qmat is the only query form used below
         if quantized:
             # Fold the int8 K dequant scales into the query matrix.
             # int8 is not an MXU input dtype and the fold must stay
@@ -216,7 +213,8 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
     else:
         o_ref, amax_ref = rest
     t, dk = k_ref.shape[1], k_ref.shape[2]
-    d = q_ref.shape[2]
+    gqa = q_ref.shape[1] != group     # GQA: q pre-split as (1, G*H, dh)
+    d = n_heads * q_ref.shape[2] if gqa else q_ref.shape[2]
     dh = d // n_heads
     n_kv = dk // dh           # GQA/MQA: cache holds n_kv <= n_heads heads
     kv_group = n_heads // n_kv
@@ -225,13 +223,13 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
     blk = pl.program_id(0)
 
     valid = len_ref[blk]
-    q = q_ref[0].astype(jnp.float32)                      # (G, D)
     # K/V stay in storage dtype (MXU takes bf16 with f32 accumulation);
     # the quantized path upcasts below to keep the scale fold exact.
     k = k_ref[0]                                          # (T, Dk)
     v = v_ref[0]                                          # (T, Dk)
 
-    if n_kv == n_heads:
+    if not gqa:
+        q = q_ref[0].astype(jnp.float32)                  # (G, D)
         i_ids = jax.lax.broadcasted_iota(jnp.int32, (d, gh), 0)
         j_ids = jax.lax.broadcasted_iota(jnp.int32, (d, gh), 1)
         # qmat[i, j] = q[j // H, i] when i's head == j's head else 0.
@@ -243,22 +241,15 @@ def _decode_attn_grouped_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
             qsel = qsel + jnp.where(j_ids // n_heads == g, q[g].reshape(d, 1), 0.0)
         qmat = jnp.where(i_ids // dh == j_ids % n_heads, qsel, 0.0)
     else:
-        # GQA: column j = (beam j//H, head h=j%H); rows = the head's
-        # KV block lanes.  Static per-column construction (Dk, GH).
-        cols = []
-        for g in range(group):
-            for hh in range(n_heads):
-                kv = hh // kv_group
-                piece = q[g, hh * dh:(hh + 1) * dh]
-                segs = []
-                if kv > 0:
-                    segs.append(jnp.zeros((kv * dh,), jnp.float32))
-                segs.append(piece)
-                if dk - (kv + 1) * dh > 0:
-                    segs.append(jnp.zeros((dk - (kv + 1) * dh,), jnp.float32))
-                col = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
-                cols.append(col.reshape(dk, 1))
-        qmat = jnp.concatenate(cols, axis=1)              # (Dk, GH)
+        # GQA: column j = (beam j//H, head h=j%H); rows = that head's
+        # KV block.  2-D build: transpose of the pre-split queries,
+        # masked per KV group, sublane-concat (1-D lane slicing aborts
+        # the Mosaic layout pass).
+        qall_t = q_ref[0].astype(jnp.float32).T           # (dh, GH)
+        col_kv = (jax.lax.broadcasted_iota(jnp.int32, (dh, gh), 1)
+                  % n_heads) // kv_group
+        blocks = [jnp.where(col_kv == g, qall_t, 0.0) for g in range(n_kv)]
+        qmat = blocks[0] if n_kv == 1 else jnp.concatenate(blocks, axis=0)
     if quantized:
         # Fold the int8 K dequant scales into the query matrix: exact.
         qmat = qmat * ks_ref[0].astype(jnp.float32).reshape(dk, 1)
@@ -337,12 +328,21 @@ def decode_attention_grouped(q, k_cache, v_cache, valid_lens, n_heads: int,
     ((B*group, D) out, (B*group,) argmax positions)."""
     b, t, dk = k_cache.shape
     d = q.shape[1]
+    dh = d // n_heads
     quantized = k_scale is not None
     assert not (quantized and dk != d), "int8 + GQA: use the XLA fallback"
-    qg = q.reshape(b, group, d)
+    if dk == d:
+        qg = q.reshape(b, group, d)
+        q_spec = pl.BlockSpec((1, group, d), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        # GQA: heads pre-split outside so the kernel query build is 2-D.
+        qg = q.reshape(b, group * n_heads, dh)
+        q_spec = pl.BlockSpec((1, group * n_heads, dh), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B,) valid_lens
-        pl.BlockSpec((1, group, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        q_spec,
         pl.BlockSpec((1, t, dk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, t, dk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
@@ -397,13 +397,23 @@ def decode_attention(q, k_cache, v_cache, valid_lens, n_heads: int,
     grid = (b // block_b,)
     quantized = k_scale is not None
     assert not (quantized and n_kv != n_heads), "int8 + GQA: use the XLA fallback"
+    if n_kv == n_heads:
+        q_spec = pl.BlockSpec((block_b, d), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        q_arg = q
+    else:
+        # GQA: heads pre-split outside (free reshape) so the kernel's
+        # query build stays 2-D — see _decode_attn_kernel.
+        q_spec = pl.BlockSpec((block_b, n_heads, dh), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        q_arg = q.reshape(b, n_heads, dh)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B,) valid_lens
-        pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        q_spec,
         pl.BlockSpec((block_b, t, dk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((block_b, t, dk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [valid_lens.astype(jnp.int32), q, k_cache, v_cache]
+    args = [valid_lens.astype(jnp.int32), q_arg, k_cache, v_cache]
     if quantized:
         in_specs += [
             pl.BlockSpec((block_b, dk), lambda i: (i, 0), memory_space=pltpu.VMEM),
