@@ -68,7 +68,27 @@ def _bench_engine(args, config, params) -> None:
     print(f"# engine: {meter2.n_reads} reads, {meter2.n_chunks} chunks, "
           f"{rates['reads_per_sec']:.2f} reads/s", file=sys.stderr)
     if timer is not None:
-        print(f"# stage times: {timer.summary()}", file=sys.stderr)
+        summary = timer.summary()
+        print(f"# stage times: {summary}", file=sys.stderr)
+        # Committed stage budget (VERDICT r2 item 3): which wall-time
+        # goes to ingest-wait / H2D+dispatch / D2H collect / host
+        # stitch+write.  dispatch+collect minus the known device compute
+        # time isolates the tunnel-relay residual in one number.
+        art = {
+            "config": {"batch_chunks": config.decode.batch_chunks,
+                       "depth": args.depth,
+                       "compute_dtype": config.model.compute_dtype,
+                       "files": n_files, "reads_per_file": reads_per_file},
+            "reads": meter2.n_reads, "chunks": meter2.n_chunks,
+            "rates": rates,
+            "stages_sec": summary,
+            "note": "stages overlap (collector thread + dispatch-ahead);"
+                    " totals can exceed wall time",
+        }
+        os.makedirs("bench_results", exist_ok=True)
+        with open("bench_results/engine_stages.json", "w") as f:
+            json.dump(art, f, indent=2)
+        print("# wrote bench_results/engine_stages.json", file=sys.stderr)
     print(json.dumps({
         "metric": "streaming_basecall_samples_per_sec_per_chip",
         "value": round(rates["ksamples_per_sec"], 2),
@@ -102,10 +122,6 @@ def main() -> None:
     ap.add_argument("--ckpt", default="",
                     help="params .npz to bench (default: the committed "
                          "flagship; config.json is read from alongside)")
-    ap.add_argument("--fused", action=argparse.BooleanOptionalAction, default=False,
-                    help="fused decoder-layer step kernel (one Pallas program "
-                         "per layer) — experimental; measured 4x SLOWER than "
-                         "the per-op kernels at batch 256 (docs/PERF.md)")
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=True,
                     help="use the Pallas decode-attention/beam kernels "
                          "(default on: measured 1.4x over the XLA einsum "
@@ -176,9 +192,6 @@ def main() -> None:
         config = dataclasses.replace(
             config, model=dataclasses.replace(config.model, cross_cache_int8=True)
         )
-    config = dataclasses.replace(
-        config, model=dataclasses.replace(config.model, fused_step=args.fused)
-    )
     if not args.f32:
         # bf16 fast mode: halves KV-cache HBM traffic in the decode loop
         # (measured 2x decode throughput on v5e; mean read identity is

@@ -76,16 +76,10 @@ class ModelConfig:
     param_dtype: str = "float32"        # master params
     compute_dtype: str = "bfloat16"     # activations on TPU ("float32" = parity mode, SURVEY §7 R2)
     use_pallas: bool = False            # Pallas decode-attention kernel (TPU hot path)
-    # Fused decoder-LAYER step (ops/decoder_layer.py): the whole
-    # per-layer op chain (LN, QKV, self+cross attention, FFN) runs as
-    # one Pallas program per layer.  EXPERIMENTAL, off by default: on
-    # the v5e it measured 2,000 ks/s vs the per-op path's 8,253 at the
-    # headline batch (docs/PERF.md round-2 continued) — the per-op
-    # decode step is MXU-pass-bound, not op-chain-bound, so the fusion
-    # win did not materialize.  Kept (token-parity-tested vs the
-    # unfused paths) as the base for further in-kernel optimization.
-    # Active only on the greedy (group==1) path; requires use_pallas.
-    fused_step: bool = False
+    # (A fused whole-decoder-layer Pallas kernel was built, measured 4x
+    # SLOWER than the per-op mix on v5e — the step is MXU-pass-bound,
+    # not op-chain-bound — and removed; the result is recorded in
+    # docs/PERF.md "round-2 continued".)
     # Lean decode path: LN affines + biases folded into the adjacent
     # matmuls (one fused QKV matmul per layer, pre-cast weights, f32
     # generator with ln_out folded in) and an optimization barrier that

@@ -60,6 +60,7 @@ class StreamingBasecaller:
                     lps.astype(jnp.float16), sample_pos.astype(jnp.int16))
 
         def greedy_program(params, signal, lengths):
+            signal = signal.astype(jnp.float32)  # f16 H2D mode (pipeline)
             memory, mem_len = encode(params, mcfg, signal, lengths)
             r = greedy_decode(params, mcfg, memory, mem_len, min_len=dcfg.min_len)
             ds = mcfg.time_downsample
@@ -67,6 +68,7 @@ class StreamingBasecaller:
                             r.attn_pos * ds + ds // 2)
 
         def beam_program(params, signal, lengths):
+            signal = signal.astype(jnp.float32)  # f16 H2D mode (pipeline)
             memory, mem_len = encode(params, mcfg, signal, lengths)
             r = beam_decode(params, mcfg, dcfg, memory, mem_len)
             # Exact per-token lps + attn positions of the best hypothesis
@@ -80,6 +82,7 @@ class StreamingBasecaller:
         def sample_program(params, signal, lengths, key):
             from nanodecoder_tpu.decode.sampling import sample_decode
 
+            signal = signal.astype(jnp.float32)  # f16 H2D mode (pipeline)
             memory, mem_len = encode(params, mcfg, signal, lengths)
             r = sample_decode(params, mcfg, dcfg, memory, mem_len, key)
             ds = mcfg.time_downsample
@@ -139,8 +142,15 @@ class StreamingBasecaller:
 
         cfg = self.config
         skip = set(skip_read_ids)
+        # f16 H2D in bf16 fast mode: the relay-bound signal transfer
+        # halves, and f16 storage of clipped z-scores is strictly finer
+        # than the bf16 quantization the compute path applies anyway.
+        # f32 (parity) compute keeps the exact f32 transfer.
+        h2d = (np.float16 if cfg.model.compute_dtype == "bfloat16"
+               else np.float32)
         pipe = AsyncChunkPipeline(
-            files, cfg.signal, cfg.decode.batch_chunks, num_workers=num_workers
+            files, cfg.signal, cfg.decode.batch_chunks, num_workers=num_workers,
+            h2d_dtype=h2d,
         ).start()
         meter = meter or ThroughputMeter(n_reads=0)
 
@@ -185,7 +195,6 @@ class StreamingBasecaller:
                 write_fasta([(rc.read.read_id, seq)], out)
             if done_log is not None:
                 done_log.write(rc.read.read_id + "\n")
-                done_log.flush()
             meter.update(rc.read.n_samples, len(seq), cb.n_chunks, 1)
 
         # Collection (device->host transfer + assembly + stitch + write)
@@ -209,6 +218,10 @@ class StreamingBasecaller:
                     per_read[ridx][ci] = (tokens[row], int(tlens[row]), lps[row], pos[row])
                     if len(per_read[ridx]) == pipe.reads[ridx].chunks.n_chunks:
                         finish_read(ridx)
+                # One durability point per batch, not per read (a flush
+                # is a syscall; resume re-basecalls at most one batch).
+                if done_log is not None:
+                    done_log.flush()
 
         def collector() -> None:
             while True:

@@ -136,17 +136,6 @@ def init_transformer_cache(p, cfg: ModelConfig, memory, mem_lengths, batch: int,
         "mem_lengths": mem_lengths.astype(jnp.int32),
         "step": jnp.zeros((), jnp.int32),
     }
-    if (cfg.use_pallas and cfg.fused_step and beam_k == 1 and not quant
-            and cfg.dec_kv == cfg.dec_heads):
-        # Fused-layer decode path (ops/decoder_layer.py): pre-fuse each
-        # layer's weights ONCE per decode program (QKV concat + dtype
-        # casts) so the while_loop body calls one Pallas program per
-        # layer instead of the ~20-op XLA chain.  Stored in the decode
-        # state (loop-invariant carries; the reorder helpers never
-        # touch them).
-        from nanodecoder_tpu.ops.decoder_layer import fuse_layer_weights
-
-        state["fusedw"] = [fuse_layer_weights(layer, dtype) for layer in p["layers"]]
     return state
 
 
@@ -157,7 +146,9 @@ def _attn_step(attn_params, n_heads, h, k_cache, v_cache, mask4d, valid_lens,
     (B, T, H, Dh); h: (Brows, 1, D) where Brows is B or B*group — when
     Brows > B, `group` consecutive rows (the beams of one chunk) share
     cache row Brows//B (beam-grouped cross attention).  k_scale/v_scale
-    ((B, D)) mark int8-quantized caches.  Returns (out, probs_or_None,
+    ((B, Dk) where Dk = kv_heads * head_dim) mark int8-quantized caches;
+    the int8 scale fold is MHA-only, so int8 + GQA routes to the XLA
+    fallback below.  Returns (out, probs_or_None,
     argmax_or_None): the Pallas kernel never materializes probs but
     emits the head-mean argmax position directly."""
     b, t, nh, dh = k_cache.shape  # nh = KV head count (GQA: <= n_heads)
@@ -204,38 +195,6 @@ def _attn_step(attn_params, n_heads, h, k_cache, v_cache, mask4d, valid_lens,
         mask4d = jnp.repeat(mask4d, group, axis=0)
     a, probs = nn.mha_step(attn_params, n_heads, h, k_cache, v_cache, mask4d)
     return a, probs, None
-
-
-def _transformer_decoder_step_fused(p, cfg: ModelConfig, y1, state):
-    """Fused-layer decode step: one Pallas program per layer
-    (ops/decoder_layer.py), current token's K/V row written into the
-    cache by a (B, 1, D) dynamic_update_slice outside the kernel."""
-    from nanodecoder_tpu.ops.decoder_layer import decoder_layer_step
-
-    step = state["step"]
-    b = y1.shape[0]
-    h, dh = cfg.dec_heads, cfg.d_model // cfg.dec_heads
-    d = h * dh
-    interp = jax.default_backend() != "tpu"
-    y = y1[:, 0, :]
-    amax = None
-    new_layers = []
-    for cache, wf in zip(state["layers"], state["fusedw"]):
-        t = cache["self_k"].shape[1]
-        s = cache["cross_k"].shape[1]
-        y, k1, v1, amax = decoder_layer_step(
-            y, cache["self_k"].reshape(b, t, d), cache["self_v"].reshape(b, t, d),
-            cache["cross_k"].reshape(b, s, d), cache["cross_v"].reshape(b, s, d),
-            step, state["mem_lengths"], wf, cfg.dec_heads, interpret=interp,
-        )
-        self_k = jax.lax.dynamic_update_slice_in_dim(
-            cache["self_k"], k1.reshape(b, 1, h, dh), step, axis=1)
-        self_v = jax.lax.dynamic_update_slice_in_dim(
-            cache["self_v"], v1.reshape(b, 1, h, dh), step, axis=1)
-        new_layers.append({**cache, "self_k": self_k, "self_v": self_v})
-    out = nn.layer_norm(p["ln_out"], y[:, None, :])
-    new_state = {**state, "layers": new_layers, "step": step + 1}
-    return out, (None, amax), new_state
 
 
 # ---------------------------------------------------------------------------
@@ -373,8 +332,6 @@ def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
     """One-token decode. y1: (B, 1, D) embedded current token.
     Returns (hidden (B, 1, D), cross-attn probs (B, H, 1, S) or None
     when the Pallas path is active, new state)."""
-    if "fusedw" in state and cfg.use_pallas and cfg.fused_step:
-        return _transformer_decoder_step_fused(p, cfg, y1, state)
     step = state["step"]
     tmax = cfg.max_decode_len
     b = y1.shape[0]

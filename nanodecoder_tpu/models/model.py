@@ -138,7 +138,7 @@ def decode_step(params, cfg: ModelConfig, tokens, state, return_attn: bool = Fal
     probabilities, so return_attn forces the XLA attention path."""
     y1 = _embed_tokens(params, cfg, tokens[:, None], positions=state["step"])
     if (cfg.decoder_type == "transformer" and "_lean" in params
-            and not return_attn and "fusedw" not in state):
+            and not return_attn):
         # Lean decode path: LN affines/biases folded into the matmuls,
         # fused QKV, f32 generator with ln_out folded in (see
         # models/decoder.fold_lean_params).  The folded pytree was

@@ -69,6 +69,18 @@ class Vocab:
             [0 if s in _SPECIALS else len(s) for s in self.itos], np.int64
         )
 
+    @functools.cached_property
+    def _byte_table(self) -> np.ndarray:
+        """(V, kmer) uint8 ASCII bytes per token, 0-padded — lets
+        decode_expand build the base string with one numpy gather
+        instead of a per-token Python join (engine host hot path)."""
+        table = np.zeros((len(self.itos), max(self.kmer, 1)), np.uint8)
+        for i, s in enumerate(self.itos):
+            if s in _SPECIALS:
+                continue
+            table[i, : len(s)] = np.frombuffer(s.encode("ascii"), np.uint8)
+        return table
+
     def encode(self, seq: str, add_bos: bool = False, add_eos: bool = False) -> np.ndarray:
         """Base string -> int32 ids.
 
@@ -124,8 +136,10 @@ class Vocab:
         keep = np.flatnonzero(lens > 0)  # drops PAD/BOS/UNK (0 bases)
         kept_ids = flat_ids[keep]
         kept_lens = lens[keep]
-        itos = self.itos
-        seq = "".join(itos[i] for i in kept_ids)
+        # Base string via the byte table: gather (N, k) bytes, drop the
+        # zero padding, decode once (no per-token Python loop).
+        raw = self._byte_table[kept_ids].reshape(-1)
+        seq = raw[raw != 0].tobytes().decode("ascii")
         # Per-token streams expand per base via np.repeat (host hot
         # path: runs once per chunk in the streaming engine).
         expanded = tuple(

@@ -235,6 +235,43 @@ class TestPipelineStress:
         assert not pipe._producer_thread.is_alive()
 
 
+class TestStreamingEngineMesh:
+    """The engine's multi-chip path (cli/basecall --mesh ->
+    StreamingBasecaller(mesh_plan=...)) on the 8-device virtual mesh:
+    sharded decode + host assembly must produce byte-identical FASTQ
+    to the single-device engine (VERDICT r2 item 4a)."""
+
+    @pytest.mark.parametrize("mode", ["greedy", "beam"])
+    def test_mesh_engine_matches_single_device(self, tiny_params, tiny_config,
+                                               tmp_path, rng_np, mode):
+        import dataclasses as dc
+
+        import jax
+
+        from nanodecoder_tpu.config import MeshConfig
+        from nanodecoder_tpu.decode.engine import StreamingBasecaller
+        from nanodecoder_tpu.parallel.mesh import make_mesh_plan
+
+        assert jax.device_count() >= 8
+        cfg = dc.replace(
+            tiny_config,
+            decode=dc.replace(tiny_config.decode, batch_chunks=8, mode=mode,
+                              beam_size=3),
+        )
+        reads = {f"m{i}": rng_np.normal(0, 300, size=rng_np.integers(300, 1100))
+                 for i in range(6)}
+        path = str(tmp_path / "m.fast5")
+        _write_multi_fast5(path, reads)
+
+        out_single = io.StringIO()
+        StreamingBasecaller(tiny_params, cfg).run([path], out_single)
+        plan = make_mesh_plan(MeshConfig(num_devices=8))
+        out_mesh = io.StringIO()
+        StreamingBasecaller(tiny_params, cfg, mesh_plan=plan).run([path], out_mesh)
+        assert out_single.getvalue() == out_mesh.getvalue()
+        assert out_mesh.getvalue().count("@") >= 6
+
+
 class TestStreamingEngineSampleMode:
     def test_sample_mode_end_to_end(self, tiny_params, tiny_config, tmp_path, rng_np):
         import dataclasses as dc

@@ -1,0 +1,110 @@
+"""pod5 container + svb16/vbz codec tests (pure-Python path,
+io/pod5.py).  The official pod5 wheel is absent from this image, so
+these are writer<->reader round-trips against the published POD5
+layout; cross-validation against official files is pending a real
+fixture (documented in io/pod5.py)."""
+
+import numpy as np
+import pytest
+
+from nanodecoder_tpu.io.pod5 import (Pod5Read, read_pod5, svb16_decode,
+                                     svb16_encode, vbz_compress,
+                                     vbz_decompress, write_pod5)
+
+
+class TestSvb16:
+    @pytest.mark.parametrize("n", [0, 1, 7, 8, 9, 255, 1000])
+    def test_roundtrip_random(self, rng_np, n):
+        v = rng_np.integers(-32768, 32767, size=n).astype(np.int16)
+        out = svb16_decode(svb16_encode(v), n)
+        np.testing.assert_array_equal(out, v)
+
+    def test_roundtrip_no_delta_no_zigzag(self, rng_np):
+        v = rng_np.integers(-32768, 32767, size=333).astype(np.int16)
+        out = svb16_decode(svb16_encode(v, delta=False, zigzag=False), 333,
+                           delta=False, zigzag=False)
+        np.testing.assert_array_equal(out, v)
+
+    def test_small_deltas_compress_to_one_byte_each(self):
+        """Nanopore-like slowly-varying signal: deltas fit one byte, so
+        the stream is ~n data bytes + n/8 key bytes."""
+        v = np.cumsum(np.ones(800, np.int16) * 3).astype(np.int16)
+        enc = svb16_encode(v)
+        assert len(enc) <= 800 + 100 + 8
+
+    def test_vbz_roundtrip(self, rng_np):
+        base = rng_np.integers(400, 900)
+        v = (base + np.cumsum(rng_np.integers(-8, 9, size=5000))).astype(np.int16)
+        blob = vbz_compress(v)
+        assert len(blob) < v.nbytes  # compresses vs raw int16
+        np.testing.assert_array_equal(vbz_decompress(blob, 5000), v)
+
+
+class TestPod5Container:
+    def _reads(self, rng_np, n=3, maxlen=4000):
+        return [
+            Pod5Read(
+                read_id=f"read_{i}",
+                signal=rng_np.integers(0, 2000, size=rng_np.integers(100, maxlen))
+                .astype(np.int16),
+                read_number=i,
+                calibration_offset=float(i),
+                calibration_scale=0.25,
+            )
+            for i in range(n)
+        ]
+
+    def test_roundtrip(self, tmp_path, rng_np):
+        reads = self._reads(rng_np)
+        p = str(tmp_path / "x.pod5")
+        write_pod5(p, reads)
+        back = read_pod5(p)
+        assert [r.read_id for r in back] == [r.read_id for r in reads]
+        for a, b in zip(reads, back):
+            np.testing.assert_array_equal(a.signal, b.signal)
+            assert a.read_number == b.read_number
+            assert a.calibration_offset == b.calibration_offset
+            assert abs(a.calibration_scale - b.calibration_scale) < 1e-7
+
+    def test_chunked_signal_rows(self, tmp_path, rng_np):
+        """A read longer than the signal chunk size spans several
+        signal-table rows and reassembles exactly."""
+        sig = rng_np.integers(0, 1000, size=2500).astype(np.int16)
+        p = str(tmp_path / "c.pod5")
+        write_pod5(p, [Pod5Read("long", sig)], chunk_size=1000)
+        back = read_pod5(p)
+        np.testing.assert_array_equal(back[0].signal, sig)
+
+    def test_bad_signature_rejected(self, tmp_path):
+        p = str(tmp_path / "bad.pod5")
+        with open(p, "wb") as f:
+            f.write(b"not a pod5 file at all, padding padding padding")
+        with pytest.raises(ValueError, match="signature"):
+            read_pod5(p)
+
+    def test_ingest_path_integration(self, tmp_path, rng_np):
+        """fast5.iter_fast5_reads handles .pod5 via the pure reader,
+        applying calibration scale*(raw+offset)."""
+        from nanodecoder_tpu.io.fast5 import iter_fast5_reads
+
+        sig = rng_np.integers(0, 1000, size=600).astype(np.int16)
+        p = str(tmp_path / "r.pod5")
+        write_pod5(p, [Pod5Read("rid0", sig, calibration_offset=2.0,
+                                calibration_scale=0.5)])
+        reads = list(iter_fast5_reads(p))
+        assert len(reads) == 1 and reads[0].read_id == "rid0"
+        np.testing.assert_allclose(
+            reads[0].signal, (sig.astype(np.float32) + 2.0) * 0.5, rtol=1e-6)
+
+    def test_pipeline_streams_pod5(self, tmp_path, rng_np):
+        """The async ingest pipeline consumes .pod5 like fast5."""
+        from nanodecoder_tpu.config import tiny_test_config
+        from nanodecoder_tpu.io.pipeline import AsyncChunkPipeline
+
+        scfg = tiny_test_config().signal
+        reads = self._reads(rng_np, n=4, maxlen=1500)
+        p = str(tmp_path / "s.pod5")
+        write_pod5(p, reads)
+        pipe = AsyncChunkPipeline([p], scfg, batch_chunks=4, num_workers=2)
+        got = [rc.read.read_id for rc in pipe.read_stream()]
+        assert sorted(got) == sorted(r.read_id for r in reads)
