@@ -91,6 +91,33 @@ def test_gqa_beam_parity_and_cache_shape(nkv, rng_np):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("nkv", [1, 4])
+def test_bf16_lean_near_parity(nkv, rng_np):
+    """bf16 fast mode: the lean (folded-weight) path may differ from
+    the unfolded path only at near-ties — require >=98% token agreement
+    and identical early-exit behavior (ADVICE r2: lean_step default
+    changed bf16 numerics with only f32 parity asserted)."""
+    from nanodecoder_tpu.decode.greedy import greedy_decode
+
+    cfg = _cfg(nkv, compute_dtype="bfloat16")
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    b, s = 8, 20
+    memory = jnp.asarray(rng_np.normal(size=(b, s, cfg.d_model)) * 0.5,
+                         jnp.bfloat16)
+    lens = jnp.asarray(rng_np.integers(6, s + 1, size=(b,)), jnp.int32)
+    g_lean = greedy_decode(params, cfg, memory, lens)
+    g_unfolded = greedy_decode(params, dataclasses.replace(cfg, lean_step=False),
+                               memory, lens)
+    tl, tu = np.asarray(g_lean.tokens), np.asarray(g_unfolded.tokens)
+    ll, lu = np.asarray(g_lean.lengths), np.asarray(g_unfolded.lengths)
+    n_cmp = agree = 0
+    for i in range(b):
+        n = int(min(ll[i], lu[i]))
+        n_cmp += max(n, 1)
+        agree += int(np.sum(tl[i, :n] == tu[i, :n]))
+    assert agree / n_cmp >= 0.98, (agree, n_cmp)
+
+
 def test_gqa_teacher_forced_grads(rng_np):
     """GQA training path: loss is finite and K/V grads have the reduced
     shape."""
@@ -110,6 +137,33 @@ def test_gqa_teacher_forced_grads(rng_np):
     gk = grads["decoder"]["layers"][0]["self_attn"]["k"]["w"]
     assert gk.shape == (cfg.d_model, 2 * (cfg.d_model // cfg.dec_heads))
     assert float(jnp.max(jnp.abs(gk))) > 0
+
+
+def test_kmer_warm_start_partial_copy(rng_np):
+    """scripts/make_kmer_flagship.py: vocabulary-independent leaves
+    (encoder, decoder attention/FFN) copy exactly; embedding + generator
+    keep the fresh init; the converted model decodes end-to-end."""
+    from scripts.make_kmer_flagship import convert_params
+    from nanodecoder_tpu.vocab import vocab_size_for
+
+    src_cfg = _cfg(1, kmer_k=1, vocab_size=8)
+    src = init_model(jax.random.PRNGKey(0), src_cfg)
+    tgt_cfg = dataclasses.replace(src_cfg, kmer_k=2,
+                                  vocab_size=vocab_size_for(2))
+    template = init_model(jax.random.PRNGKey(7), tgt_cfg)
+    p2, n_copied, n_fresh = convert_params(src, template)
+    assert n_fresh == 3  # tgt embedding + generator w/b
+    np.testing.assert_array_equal(
+        np.asarray(p2["decoder"]["layers"][0]["self_attn"]["q"]["w"]),
+        np.asarray(src["decoder"]["layers"][0]["self_attn"]["q"]["w"]))
+    assert p2["generator"]["w"].shape == (src_cfg.d_model, vocab_size_for(2))
+    np.testing.assert_array_equal(np.asarray(p2["generator"]["w"]),
+                                  np.asarray(template["generator"]["w"]))
+    from nanodecoder_tpu.decode.greedy import greedy_decode
+
+    memory = jnp.asarray(rng_np.normal(size=(2, 10, src_cfg.d_model)), jnp.float32)
+    g = greedy_decode(p2, tgt_cfg, memory, jnp.full((2,), 10, jnp.int32))
+    assert g.tokens.shape == (2, tgt_cfg.max_decode_len)
 
 
 def test_mqa_warm_start_head_average(rng_np):
