@@ -108,9 +108,11 @@ def main() -> None:
                          "i.e. per-batch latency mode)")
     ap.add_argument("--batch", type=int, default=0,
                     help="chunks per device batch (default: measured v5e "
-                         "sweet spots — 256 greedy (8605 ks/s vs 6818 at "
-                         "128, flat at 512), 16 beam; BASELINE C2's "
-                         "nominal shape is 32)")
+                         "sweet spots for the MQA flagship — 256 greedy "
+                         "(14,235 ks/s; 12,969 at 512), 64 beam (3,078; "
+                         "b=128 collapses to ~100 — the XLA beam path "
+                         "spills once the K-tiled caches exceed VMEM); "
+                         "BASELINE C2's nominal shape is 32)")
     ap.add_argument("--f32", action="store_true",
                     help="decode in float32 parity mode (default: bfloat16 "
                          "fast mode — measured identity delta < 1e-4, see "
@@ -200,7 +202,7 @@ def main() -> None:
             config,
             model=dataclasses.replace(config.model, compute_dtype="bfloat16"),
         )
-    batch = args.batch or (16 if args.beam else 256)
+    batch = args.batch or (64 if args.beam else 256)
     config = dataclasses.replace(
         config, decode=dataclasses.replace(config.decode, batch_chunks=batch)
     )

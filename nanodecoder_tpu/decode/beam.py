@@ -109,6 +109,14 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     k = dcfg.beam_size
     v = cfg.vocab_size
     tmax = cfg.max_decode_len
+    # Coverage penalty needs materialized attention probs, which the
+    # lean step never returns — run the whole decode (init, steps,
+    # reorder) on the unfolded per-layer-cache path in that mode.
+    need_cov = dcfg.coverage_penalty != "none" and dcfg.beta != 0.0
+    if need_cov and cfg.lean_step:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, lean_step=False)
 
     # Decode rows: row b*K + j is beam j of chunk b.  Transformer path:
     # cross K/V stay per-chunk (beam-invariant) and the grouped
@@ -134,7 +142,6 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     # probabilities, so coverage mode runs the XLA attention path and
     # the lax.top_k advance (reference: PenaltyBuilder coverage_wu /
     # coverage_summary applied at hypothesis finalization).
-    need_cov = dcfg.coverage_penalty != "none" and dcfg.beta != 0.0
     use_fused = dcfg.use_pallas and not need_cov
     if need_cov and dcfg.use_pallas:
         # Trace-time warning (fires once per compile): this is a real

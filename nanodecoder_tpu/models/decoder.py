@@ -105,10 +105,21 @@ def init_transformer_cache(p, cfg: ModelConfig, memory, mem_lengths, batch: int,
     hk, dh = cfg.dec_kv, cfg.d_model // cfg.dec_heads
     layers = []
     quant = cfg.cross_cache_int8
+    # Lean path: ONE combined self cache for all layers, layout
+    # (rows, T, L, 2*Dk) with layer l's [K|V] row contiguous last.
+    # The per-layer design cost six ~37 us dynamic-update-slices per
+    # decode step (v5e device trace, b=256 — latency-bound, not
+    # byte-bound); combined, the step writes one slice and the beam
+    # reorder gathers one tensor instead of six (measured 8,506 vs
+    # 8,177 ks/s greedy).  A time-major (T, rows, L, 2Dk) variant was
+    # measured TOO (contiguous per-step write): 7,403 ks/s — the
+    # leading-T einsums push the folded bias vectors out of VMEM and
+    # the loop restages 11 of them per step; row-major wins.
+    combined = cfg.decoder_type == "transformer" and cfg.lean_step
     for layer in p["layers"]:
         ck, cv = nn.mha_project_kv(layer["cross_attn"], cfg.dec_heads, memory,
                                    kv_heads=hk)
-        entry = {
+        entry = {} if combined else {
             "self_k": jnp.zeros((batch * beam_k, tmax, hk, dh), dtype),
             "self_v": jnp.zeros((batch * beam_k, tmax, hk, dh), dtype),
         }
@@ -136,6 +147,9 @@ def init_transformer_cache(p, cfg: ModelConfig, memory, mem_lengths, batch: int,
         "mem_lengths": mem_lengths.astype(jnp.int32),
         "step": jnp.zeros((), jnp.int32),
     }
+    if combined:
+        state["self_kv"] = jnp.zeros(
+            (batch * beam_k, tmax, len(p["layers"]), 2 * hk * dh), dtype)
     return state
 
 
@@ -154,10 +168,15 @@ def _attn_step(attn_params, n_heads, h, k_cache, v_cache, mask4d, valid_lens,
     b, t, nh, dh = k_cache.shape  # nh = KV head count (GQA: <= n_heads)
     group = h.shape[0] // b
     d = nh * dh
-    # Kernel coverage: both kernels handle GQA/MQA (q heads > cache
-    # heads); the int8 scale fold is MHA-only — that combination takes
-    # the XLA fallback (attention_core repeats KV heads).
-    if nh != n_heads and k_scale is not None:
+    # Path choice, measured on v5e (MQA flagship): the Pallas kernels'
+    # block-diagonal formulation was built for MHA (where it won 3.7x
+    # over XLA) but wastes n_heads/kv_heads of its MXU lanes under
+    # GQA/MQA — the XLA grouped einsum measured 14,306 vs 8,500 ks/s
+    # greedy (b=256) and 3,078 vs 2,339 beam (b=64, despite the
+    # fallback's repeated caches).  So GQA/MQA always routes to XLA;
+    # the kernels serve MHA configs.  (The int8 scale fold is also
+    # MHA-only.)
+    if nh != n_heads:
         use_pallas = False
     if use_pallas:
         from nanodecoder_tpu.ops.attention import (decode_attention,
@@ -286,25 +305,34 @@ def _transformer_decoder_step_lean(lean, cfg: ModelConfig, y1, state):
     b = y1.shape[0]
     nh, dh = cfg.dec_heads, cfg.d_model // cfg.dec_heads
     d = nh * dh
+    dk = cfg.dec_kv * dh
     pos = jnp.arange(tmax)
     self_mask = (pos <= step)[None, None, None, :]
-    new_layers = []
+    at_cur = (pos == step)[None, :, None, None]   # bcast to (B, T, Hk, Dh)
+    # The barrier pins the carried cache to its storage dtype: without
+    # it XLA hoists the scores-einsum f32 upcast of the bf16 cache INTO
+    # the loop carry, doubling self-cache HBM traffic (device trace).
+    # Self caches of ALL layers live in ONE (B, T, L, 2*Dk) tensor
+    # (init_transformer_cache): attention reads the cache with the
+    # current token's K/V row substituted by a where-select at `step`
+    # (elementwise identical to updating first), and the six per-layer
+    # dynamic-update-slices (~37 us fixed cost each, v5e device trace)
+    # collapse into ONE combined write at the end of the step.
+    kv_read = jax.lax.optimization_barrier(state["self_kv"])
+    new_rows = []
     amax = None
-    for ll, cache in zip(lean["layers"], state["layers"]):
+    for i, (ll, cache) in enumerate(zip(lean["layers"], state["layers"])):
         h = _ln_normalize(y1)                               # (B, 1, D)
         qkv = h @ ll["w_qkv"] + ll["b_qkv"]                 # (B, 1, D+2Dk)
-        dk = cfg.dec_kv * dh
         q1 = qkv[..., :d]
         k1 = nn._split_heads(qkv[..., d:d + dk], cfg.dec_kv)
         v1 = nn._split_heads(qkv[..., d + dk:], cfg.dec_kv)
-        self_k = jax.lax.dynamic_update_slice_in_dim(cache["self_k"], k1, step, axis=1)
-        self_v = jax.lax.dynamic_update_slice_in_dim(cache["self_v"], v1, step, axis=1)
-        # The barrier pins the carried caches to their storage dtype:
-        # without it XLA hoists the scores-einsum f32 upcast INTO the
-        # loop carry, doubling self-cache HBM traffic (seen in the
-        # device trace as f32[B,T,H,dh] carries).
-        kb, vb = jax.lax.optimization_barrier((self_k, self_v))
-        a, _ = nn.attention_core(nn._split_heads(q1, nh), kb, vb, self_mask)
+        k_c = kv_read[:, :, i, :dk].reshape(b, tmax, cfg.dec_kv, dh)
+        v_c = kv_read[:, :, i, dk:].reshape(b, tmax, cfg.dec_kv, dh)
+        k_use = jnp.where(at_cur, k1, k_c)  # k1 (B,1,Hk,Dh) bcasts over T
+        v_use = jnp.where(at_cur, v1, v_c)
+        a, _ = nn.attention_core(nn._split_heads(q1, nh), k_use, v_use,
+                                 self_mask)
         y1 = y1 + nn.dense(ll["self_o"], nn._merge_heads(a))
         h = _ln_normalize(y1)
         a, _probs, am = _attn_step(
@@ -322,9 +350,12 @@ def _transformer_decoder_step_lean(lean, cfg: ModelConfig, y1, state):
         y1 = y1 + a
         h = _ln_normalize(y1)
         y1 = y1 + jax.nn.relu(h @ ll["w_f1"] + ll["b_f1"]) @ ll["w_f2"] + ll["b_f2"]
-        new_layers.append({**cache, "self_k": self_k, "self_v": self_v})
+        new_rows.append(qkv[..., d:])                        # (B, 1, 2Dk)
+    rows = jnp.concatenate(new_rows, axis=1)[:, None]        # (B, 1, L, 2Dk)
+    self_kv = jax.lax.dynamic_update_slice_in_dim(
+        state["self_kv"], rows.astype(state["self_kv"].dtype), step, axis=1)
     out = _ln_normalize(y1)  # ln_out affine lives in the folded generator
-    new_state = {**state, "layers": new_layers, "step": step + 1}
+    new_state = {**state, "self_kv": self_kv, "step": step + 1}
     return out, (None, amax), new_state
 
 
@@ -332,6 +363,10 @@ def transformer_decoder_step(p, cfg: ModelConfig, y1, state):
     """One-token decode. y1: (B, 1, D) embedded current token.
     Returns (hidden (B, 1, D), cross-attn probs (B, H, 1, S) or None
     when the Pallas path is active, new state)."""
+    assert "self_kv" not in state, (
+        "state was initialized for the lean (combined-cache) path; the "
+        "unfolded step needs per-layer caches — init with lean_step=False "
+        "(beam coverage mode does this) or route through the lean step")
     step = state["step"]
     tmax = cfg.max_decode_len
     b = y1.shape[0]

@@ -137,6 +137,14 @@ def decode_step(params, cfg: ModelConfig, tokens, state, return_attn: bool = Fal
     attention mass.  The Pallas attention path never materializes the
     probabilities, so return_attn forces the XLA attention path."""
     y1 = _embed_tokens(params, cfg, tokens[:, None], positions=state["step"])
+    if "self_kv" in state and "_lean" not in params and not return_attn:
+        # State was built for the lean (combined-cache) path but the
+        # caller skipped prepare_decode_params (e.g. a test oracle
+        # driving decode_step directly) — fold here.  Inside a jitted
+        # decode loop the production drivers always pre-fold, so this
+        # costs nothing there.
+        params = dec.prepare_decode_params(params, cfg,
+                                           state["self_kv"].dtype)
     if (cfg.decoder_type == "transformer" and "_lean" in params
             and not return_attn):
         # Lean decode path: LN affines/biases folded into the matmuls,
@@ -184,7 +192,9 @@ def reorder_decode_state(state, origin_idx):
     origin_idx only permutes within a chunk's beam group, so gathering
     them is a no-op that costs ~200 MB of HBM traffic per step at
     beam bench shapes — skip it."""
-    if "layers" in state:  # transformer
+    if "self_kv" in state:  # transformer, lean combined cache: 1 gather
+        return {**state, "self_kv": state["self_kv"][origin_idx]}
+    if "layers" in state:  # transformer, per-layer caches
         new_layers = [
             {**cache,
              "self_k": cache["self_k"][origin_idx],
@@ -212,6 +222,10 @@ def reorder_decode_state_beam(state, beam_origin):
     regrouping forces a physical relayout of the tiled cache.)"""
     bsz, k = beam_origin.shape
     flat = (jnp.arange(bsz)[:, None] * k + beam_origin).reshape(-1)
+    if "self_kv" in state:  # lean combined cache: ONE gather for all
+        # layers' K+V (vs six per-layer gathers — same bytes, 6x fewer
+        # latency-bound op dispatches).
+        return {**state, "self_kv": state["self_kv"][flat]}
     if "layers" in state:  # transformer
         new_layers = [
             {**cache,

@@ -322,6 +322,9 @@ def cmd_decode(args):
     print(f"encoder  b={b} dtype={args.dtype}: {t_enc*1e3:.3f} ms  "
           f"memory {memory.shape} {memory.dtype}")
 
+    from nanodecoder_tpu.models.decoder import prepare_decode_params
+
+    params = prepare_decode_params(params, mcfg, memory.dtype)
     state0 = init_decode_state(params, mcfg, memory, mem_len)
     cur = jnp.full((b,), 1, jnp.int32)
     step = jax.jit(lambda p, c, st: decode_step(p, mcfg, c, st),

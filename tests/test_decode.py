@@ -70,6 +70,10 @@ def oracle_beam(params, cfg, dcfg, memory, mem_len):
     b = memory.shape[0]
     k, v, tmax = dcfg.beam_size, cfg.vocab_size, cfg.max_decode_len
     need_cov = dcfg.coverage_penalty != "none" and dcfg.beta != 0.0
+    if need_cov and cfg.lean_step:
+        # Mirror beam_decode: coverage needs materialized attention
+        # probs, so the whole decode runs on the unfolded path.
+        cfg = dataclasses.replace(cfg, lean_step=False)
     results = []
     for bi in range(b):
         mem_i = jnp.repeat(memory[bi : bi + 1], k, axis=0)
@@ -121,9 +125,9 @@ def oracle_beam(params, cfg, dcfg, memory, mem_len):
             origins = np.array([o for _, _, _, o, _ in new_alive])
             alive_cov = cov_step[origins]
             cur = np.array([tk for _, _, _, _, tk in new_alive], np.int32)
-            state = jax.tree_util.tree_map(
-                lambda x: x if x.ndim == 0 else x[jnp.asarray(origins)], state
-            )
+            from nanodecoder_tpu.models.model import reorder_decode_state
+
+            state = reorder_decode_state(state, jnp.asarray(origins))
         if not fin:
             covp = (np.asarray(coverage_penalty(jnp.asarray(alive_cov),
                                                 dcfg.coverage_penalty, dcfg.beta))

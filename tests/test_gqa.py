@@ -79,8 +79,14 @@ def test_gqa_beam_parity_and_cache_shape(nkv, rng_np):
     lens = jnp.full((b,), s, jnp.int32)
     st = init_decode_state(params, cfg, memory, lens)
     dh = cfg.d_model // cfg.dec_heads
-    assert st["layers"][0]["self_k"].shape == (b, cfg.max_decode_len, nkv, dh)
+    # lean path: ONE combined (B, T, L, 2*Dk) self cache for all layers
+    assert st["self_kv"].shape == (b, cfg.max_decode_len, cfg.dec_layers,
+                                   2 * nkv * dh)
     assert st["layers"][0]["cross_k"].shape == (b, s, nkv, dh)
+    st_unfolded = init_decode_state(
+        params, dataclasses.replace(cfg, lean_step=False), memory, lens)
+    assert st_unfolded["layers"][0]["self_k"].shape == (
+        b, cfg.max_decode_len, nkv, dh)
     dcfg = DecodeConfig(beam_size=3, max_len=24, use_pallas=True)
     b1 = beam_decode(params, cfg, dcfg, memory, lens)
     b2 = beam_decode(params,

@@ -306,19 +306,32 @@ def test_reorder_decode_state_beam_matches_flat_gather(rng_np):
     lengths = jnp.full((bsz * k,), 256, jnp.int32)
     memory, mem_len = encode(params, cfg, signal, lengths)
     state = init_decode_state(params, cfg, memory, mem_len)
-    # write something nonzero into the self caches
-    for c in state["layers"]:
-        c["self_k"] = jnp.asarray(
-            rng_np.normal(size=c["self_k"].shape).astype(np.float32))
-        c["self_v"] = jnp.asarray(
-            rng_np.normal(size=c["self_v"].shape).astype(np.float32))
+    # write something nonzero into the combined self cache (lean layout)
+    state["self_kv"] = jnp.asarray(
+        rng_np.normal(size=state["self_kv"].shape).astype(np.float32))
     origin = jnp.asarray(rng_np.integers(0, k, size=(bsz, k)).astype(np.int32))
     flat = (jnp.arange(bsz)[:, None] * k + origin).reshape(-1)
 
     got = reorder_decode_state_beam(state, origin)
     ref = reorder_decode_state(state, flat)
+    np.testing.assert_array_equal(np.asarray(got["self_kv"]),
+                                  np.asarray(ref["self_kv"]))
     for gc, rc in zip(got["layers"], ref["layers"]):
-        np.testing.assert_array_equal(np.asarray(gc["self_k"]), np.asarray(rc["self_k"]))
-        np.testing.assert_array_equal(np.asarray(gc["self_v"]), np.asarray(rc["self_v"]))
         # cross K/V must be untouched (beam-invariant)
         np.testing.assert_array_equal(np.asarray(gc["cross_k"]), np.asarray(rc["cross_k"]))
+
+    # per-layer (unfolded) layout: same equivalence
+    import dataclasses as dc
+
+    state_u = init_decode_state(params, dc.replace(cfg, lean_step=False),
+                                memory, mem_len)
+    for c in state_u["layers"]:
+        c["self_k"] = jnp.asarray(
+            rng_np.normal(size=c["self_k"].shape).astype(np.float32))
+        c["self_v"] = jnp.asarray(
+            rng_np.normal(size=c["self_v"].shape).astype(np.float32))
+    got_u = reorder_decode_state_beam(state_u, origin)
+    ref_u = reorder_decode_state(state_u, flat)
+    for gc, rc in zip(got_u["layers"], ref_u["layers"]):
+        np.testing.assert_array_equal(np.asarray(gc["self_k"]), np.asarray(rc["self_k"]))
+        np.testing.assert_array_equal(np.asarray(gc["self_v"]), np.asarray(rc["self_v"]))
