@@ -103,7 +103,7 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=10.0, help="min measure time")
     ap.add_argument("--beam", action="store_true", help="beam decode instead of greedy")
     ap.add_argument("--batches", type=int, default=8, help="timed batches minimum")
-    ap.add_argument("--depth", type=int, default=2,
+    ap.add_argument("--depth", type=int, default=4,
                     help="dispatch-ahead depth (1 = block every batch, "
                          "i.e. per-batch latency mode)")
     ap.add_argument("--batch", type=int, default=0,
@@ -125,9 +125,10 @@ def main() -> None:
                     help="params .npz to bench (default: the committed "
                          "flagship; config.json is read from alongside)")
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=True,
-                    help="use the Pallas decode-attention/beam kernels "
-                         "(default on: measured 1.4x over the XLA einsum "
-                         "path on v5e; --no-pallas to disable)")
+                    help="allow the Pallas decode-attention/beam kernels "
+                         "(MHA configs only — GQA/MQA models always route "
+                         "to the XLA grouped einsum, measured faster; see "
+                         "models/decoder._attn_step)")
     ap.add_argument("--engine", action="store_true",
                     help="benchmark the full streaming path (ingest+decode+"
                          "stitch over generated fast5 files) instead of raw "

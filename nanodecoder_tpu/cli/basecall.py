@@ -52,7 +52,7 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="chunk merge rule: proportional trim, overlap "
                          "alignment, or attention-position (greedy only)")
     ap.add_argument("--workers", type=int, default=4, help="ingest reader threads")
-    ap.add_argument("--depth", type=int, default=2,
+    ap.add_argument("--depth", type=int, default=4,
                     help="device batches in flight (dispatch-ahead depth; "
                          "higher overlaps more transfer with compute)")
     ap.add_argument("--resume", action="store_true",

@@ -204,15 +204,29 @@ class StreamingBasecaller:
         # of serializing with them (collect was 87% of engine wall time
         # when serial — docs/PERF.md round 2).  The queue bound is the
         # device-buffer backpressure (same role `in_flight` played).
+        #
+        # The D2H conversion itself goes through a small thread POOL:
+        # on the tunneled relay a batch transfer is latency-bound
+        # (~155 ms measured vs ~8 ms of bytes at relay bandwidth), so
+        # transfers of consecutive in-flight batches must overlap each
+        # other, not just overlap dispatch.  Ordering is preserved by
+        # the FIFO queue of futures; assembly stays single-threaded.
         import queue as _queue
+        from concurrent.futures import ThreadPoolExecutor
 
-        result_q: _queue.Queue = _queue.Queue(maxsize=max(self.depth, 1))
+        depth = max(self.depth, 1)
+        result_q: _queue.Queue = _queue.Queue(maxsize=depth)
+        transfer_pool = ThreadPoolExecutor(max_workers=depth,
+                                           thread_name_prefix="engine-d2h")
         collector_exc: list[BaseException] = []
 
+        def to_host(dev_out):
+            return tuple(np.asarray(x) for x in dev_out)
+
         def collect_one(item) -> None:
-            dev_out, packed = item
+            fut, packed = item
             with timer.stage("collect"):
-                tokens, tlens, lps, pos = (np.asarray(x) for x in dev_out)
+                tokens, tlens, lps, pos = fut.result()
             with timer.stage("stitch+write"):
                 for row, (ridx, ci) in enumerate(packed.sources):
                     per_read[ridx][ci] = (tokens[row], int(tlens[row]), lps[row], pos[row])
@@ -252,10 +266,11 @@ class StreamingBasecaller:
                          "lengths": jnp.asarray(packed.lengths)}
                     )
                     dev_out = self._decode(batch["signal"], batch["lengths"])
-                result_q.put((dev_out, packed))
+                result_q.put((transfer_pool.submit(to_host, dev_out), packed))
         finally:
             result_q.put(None)
             col_thread.join()
+            transfer_pool.shutdown(wait=False)
             pipe.stop()
         if collector_exc:
             raise collector_exc[0]
