@@ -61,4 +61,7 @@ def test_golden_accuracy_floor():
     with open(GOLDEN) as f:
         golden = json.load(f)
     for rid, rec in golden["reads"].items():
-        assert rec["identity"] > 0.75, (rid, rec["identity"])
+        # Floor tracks the flagship's measured band: n=100 min identity
+        # 0.9007 (bench_results/identity_r03.jsonl); the three golden
+        # reads sit at 0.899-0.919.
+        assert rec["identity"] > 0.85, (rid, rec["identity"])
