@@ -103,7 +103,7 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=10.0, help="min measure time")
     ap.add_argument("--beam", action="store_true", help="beam decode instead of greedy")
     ap.add_argument("--batches", type=int, default=8, help="timed batches minimum")
-    ap.add_argument("--depth", type=int, default=4,
+    ap.add_argument("--depth", type=int, default=8,
                     help="dispatch-ahead depth (1 = block every batch, "
                          "i.e. per-batch latency mode)")
     ap.add_argument("--batch", type=int, default=0,

@@ -150,4 +150,14 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    # Hard-exit after a clean run: the tunneled TPU plugin's atexit
+    # teardown has been observed to deadlock in a futex after the final
+    # checkpoint was already durably written (wait=True) — a hung
+    # trainer then holds the single device grant indefinitely.  All
+    # files are flushed by this point; skip interpreter teardown.
+    import os as _os
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    _os._exit(rc)

@@ -148,8 +148,24 @@ def init_transformer_cache(p, cfg: ModelConfig, memory, mem_lengths, batch: int,
         "step": jnp.zeros((), jnp.int32),
     }
     if combined:
-        state["self_kv"] = jnp.zeros(
-            (batch * beam_k, tmax, len(p["layers"]), 2 * hk * dh), dtype)
+        # 3-D (rows, T, L*2*Dk), written per step by an in-place Pallas
+        # DMA of the current aligned 8-row block (ops/cache_update —
+        # XLA's DUS on this T-minor-tiled buffer RMW'd every tile,
+        # 131-166 us/step in the device trace).  self_kv_stage carries
+        # the block's rows between steps.  Rows beyond `step` are zeros
+        # and always masked.
+        from nanodecoder_tpu.ops.cache_update import BLOCK
+
+        assert tmax % BLOCK == 0, (
+            f"max_decode_len must be a multiple of {BLOCK} for the "
+            f"block-DMA cache write; got {tmax}")
+        c = len(p["layers"]) * 2 * hk * dh
+        # Lane dim padded to a 128 multiple: Mosaic DMA slices must be
+        # lane-tile-aligned.  The pad bytes are dead weight, never read.
+        c_pad = -(-c // 128) * 128
+        state["self_kv"] = jnp.zeros((batch * beam_k, tmax, c_pad), dtype)
+        state["self_kv_stage"] = jnp.zeros((batch * beam_k, BLOCK, c_pad),
+                                           dtype)
     return state
 
 
@@ -327,8 +343,10 @@ def _transformer_decoder_step_lean(lean, cfg: ModelConfig, y1, state):
         q1 = qkv[..., :d]
         k1 = nn._split_heads(qkv[..., d:d + dk], cfg.dec_kv)
         v1 = nn._split_heads(qkv[..., d + dk:], cfg.dec_kv)
-        k_c = kv_read[:, :, i, :dk].reshape(b, tmax, cfg.dec_kv, dh)
-        v_c = kv_read[:, :, i, dk:].reshape(b, tmax, cfg.dec_kv, dh)
+        k_c = kv_read[:, :tmax, 2 * dk * i:2 * dk * i + dk].reshape(
+            b, tmax, cfg.dec_kv, dh)
+        v_c = kv_read[:, :tmax, 2 * dk * i + dk:2 * dk * (i + 1)].reshape(
+            b, tmax, cfg.dec_kv, dh)
         k_use = jnp.where(at_cur, k1, k_c)  # k1 (B,1,Hk,Dh) bcasts over T
         v_use = jnp.where(at_cur, v1, v_c)
         a, _ = nn.attention_core(nn._split_heads(q1, nh), k_use, v_use,
@@ -351,11 +369,27 @@ def _transformer_decoder_step_lean(lean, cfg: ModelConfig, y1, state):
         h = _ln_normalize(y1)
         y1 = y1 + jax.nn.relu(h @ ll["w_f1"] + ll["b_f1"]) @ ll["w_f2"] + ll["b_f2"]
         new_rows.append(qkv[..., d:])                        # (B, 1, 2Dk)
-    rows = jnp.concatenate(new_rows, axis=1)[:, None]        # (B, 1, L, 2Dk)
-    self_kv = jax.lax.dynamic_update_slice_in_dim(
-        state["self_kv"], rows.astype(state["self_kv"].dtype), step, axis=1)
+    n_layers = len(lean["layers"])
+    c_pad = state["self_kv"].shape[2]
+    if c_pad > n_layers * 2 * dk:  # lane-tile pad (see init)
+        new_rows.append(jnp.zeros(
+            (b, 1, c_pad - n_layers * 2 * dk), qkv.dtype))
+    rows = jnp.concatenate(new_rows, axis=2)                 # (B, 1, C_pad)
+    # Stage the current aligned 8-step block (elementwise select — no
+    # DUS) and flush it with one in-place DMA (ops/cache_update): XLA's
+    # DUS on the T-minor cache layout RMW'd every tile (~131 us/step
+    # measured); the DMA moves only the block's bytes.
+    from nanodecoder_tpu.ops.cache_update import BLOCK, write_cache_block
+
+    local = step % BLOCK
+    iota8 = jnp.arange(BLOCK)[None, :, None]
+    stage = jnp.where(
+        iota8 == local, rows.astype(state["self_kv_stage"].dtype),
+        jnp.where(iota8 < local, state["self_kv_stage"], 0))
+    self_kv = write_cache_block(state["self_kv"], stage, step)
     out = _ln_normalize(y1)  # ln_out affine lives in the folded generator
-    new_state = {**state, "self_kv": self_kv, "step": step + 1}
+    new_state = {**state, "self_kv": self_kv, "self_kv_stage": stage,
+                 "step": step + 1}
     return out, (None, amax), new_state
 
 

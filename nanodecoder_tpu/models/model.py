@@ -193,7 +193,10 @@ def reorder_decode_state(state, origin_idx):
     them is a no-op that costs ~200 MB of HBM traffic per step at
     beam bench shapes — skip it."""
     if "self_kv" in state:  # transformer, lean combined cache: 1 gather
-        return {**state, "self_kv": state["self_kv"][origin_idx]}
+        out = {**state, "self_kv": state["self_kv"][origin_idx]}
+        if "self_kv_stage" in state:  # current 8-block staging carry
+            out["self_kv_stage"] = state["self_kv_stage"][origin_idx]
+        return out
     if "layers" in state:  # transformer, per-layer caches
         new_layers = [
             {**cache,
@@ -225,7 +228,10 @@ def reorder_decode_state_beam(state, beam_origin):
     if "self_kv" in state:  # lean combined cache: ONE gather for all
         # layers' K+V (vs six per-layer gathers — same bytes, 6x fewer
         # latency-bound op dispatches).
-        return {**state, "self_kv": state["self_kv"][flat]}
+        out = {**state, "self_kv": state["self_kv"][flat]}
+        if "self_kv_stage" in state:  # current 8-block staging carry
+            out["self_kv_stage"] = state["self_kv_stage"][flat]
+        return out
     if "layers" in state:  # transformer
         new_layers = [
             {**cache,

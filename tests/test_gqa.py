@@ -79,9 +79,13 @@ def test_gqa_beam_parity_and_cache_shape(nkv, rng_np):
     lens = jnp.full((b,), s, jnp.int32)
     st = init_decode_state(params, cfg, memory, lens)
     dh = cfg.d_model // cfg.dec_heads
-    # lean path: ONE combined (B, T, L, 2*Dk) self cache for all layers
-    assert st["self_kv"].shape == (b, cfg.max_decode_len, cfg.dec_layers,
-                                   2 * nkv * dh)
+    # lean path: ONE combined (B, T, L*2*Dk) self cache + the 8-row
+    # DMA staging block (ops/cache_update.BLOCK)
+    from nanodecoder_tpu.ops.cache_update import BLOCK
+
+    c_pad = -(-(cfg.dec_layers * 2 * nkv * dh) // 128) * 128
+    assert st["self_kv"].shape == (b, cfg.max_decode_len, c_pad)
+    assert st["self_kv_stage"].shape == (b, BLOCK, c_pad)
     assert st["layers"][0]["cross_k"].shape == (b, s, nkv, dh)
     st_unfolded = init_decode_state(
         params, dataclasses.replace(cfg, lean_step=False), memory, lens)

@@ -335,3 +335,45 @@ def test_reorder_decode_state_beam_matches_flat_gather(rng_np):
     for gc, rc in zip(got_u["layers"], ref_u["layers"]):
         np.testing.assert_array_equal(np.asarray(gc["self_k"]), np.asarray(rc["self_k"]))
         np.testing.assert_array_equal(np.asarray(gc["self_v"]), np.asarray(rc["self_v"]))
+
+
+class TestEncoderAttention:
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_kernel_matches_reference(self, rng_np, dtype):
+        import jax.numpy as jnp
+
+        from nanodecoder_tpu.ops.encoder_attention import (
+            encoder_attention_reference, flash_encoder_attention)
+
+        b, s, h, dh = 3, 64, 4, 16
+        dt = jnp.float32 if dtype == "float32" else jnp.bfloat16
+        q = jnp.asarray(rng_np.normal(size=(b, s, h, dh)), dt)
+        k = jnp.asarray(rng_np.normal(size=(b, s, h, dh)), dt)
+        v = jnp.asarray(rng_np.normal(size=(b, s, h, dh)), dt)
+        lens = jnp.asarray([s, s // 2, 5], jnp.int32)
+        ref = encoder_attention_reference(q, k, v, lens)
+        got = flash_encoder_attention(q, k, v, lens, interpret=True)
+        atol = 2e-5 if dtype == "float32" else 5e-2
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=atol, rtol=1e-2)
+
+    def test_full_encoder_parity(self, rng_np):
+        """Pallas-encoder output == XLA-encoder output (f32, eval)."""
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from nanodecoder_tpu.config import tiny_test_config
+        from nanodecoder_tpu.models.model import encode, init_model
+
+        cfg = tiny_test_config().model
+        params = init_model(jax.random.PRNGKey(2), cfg)
+        sig = jnp.asarray(rng_np.normal(size=(3, 256)).astype(np.float32))
+        lens = jnp.asarray([256, 200, 96], jnp.int32)
+        m_xla, l_xla = encode(params, dc.replace(cfg, use_pallas=False), sig, lens)
+        m_pl, l_pl = encode(params, dc.replace(cfg, use_pallas=True), sig, lens)
+        np.testing.assert_array_equal(np.asarray(l_xla), np.asarray(l_pl))
+        np.testing.assert_allclose(np.asarray(m_pl), np.asarray(m_xla),
+                                   atol=2e-5, rtol=1e-4)
