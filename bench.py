@@ -55,7 +55,7 @@ def _bench_engine(args, config, params) -> None:
 
     caller = StreamingBasecaller(params, config, depth=args.depth)
     # Warmup pass (compile) on one file.
-    caller.run(files[:1], _io.StringIO())
+    caller.run(files[:1], _io.StringIO(), num_workers=args.workers)
     meter = ThroughputMeter(n_reads=0)
     out = _io.StringIO()
     timer = None
@@ -63,7 +63,8 @@ def _bench_engine(args, config, params) -> None:
         from nanodecoder_tpu.utils.profiling import StageTimer
 
         timer = StageTimer()
-    meter2 = caller.run(files, out, meter=meter, stage_timer=timer)
+    meter2 = caller.run(files, out, meter=meter, stage_timer=timer,
+                        num_workers=args.workers)
     rates = meter2.rates()
     print(f"# engine: {meter2.n_reads} reads, {meter2.n_chunks} chunks, "
           f"{rates['reads_per_sec']:.2f} reads/s", file=sys.stderr)
@@ -108,11 +109,10 @@ def main() -> None:
                          "i.e. per-batch latency mode)")
     ap.add_argument("--batch", type=int, default=0,
                     help="chunks per device batch (default: measured v5e "
-                         "sweet spots for the MQA flagship — 256 greedy "
-                         "(14,235 ks/s; 12,969 at 512), 64 beam (3,078; "
-                         "b=128 collapses to ~100 — the XLA beam path "
-                         "spills once the K-tiled caches exceed VMEM); "
-                         "BASELINE C2's nominal shape is 32)")
+                         "sweet spots for the k=4 MQA flagship — 512 "
+                         "greedy (24,459 ks/s; 20,304 at 256, 21,534 at "
+                         "1024), 128 beam (7,602; 5,740 at 96, ~5,800 at "
+                         "192-256); BASELINE C2's nominal shape is 32)")
     ap.add_argument("--f32", action="store_true",
                     help="decode in float32 parity mode (default: bfloat16 "
                          "fast mode — measured identity delta < 1e-4, see "
@@ -137,6 +137,9 @@ def main() -> None:
                     help="engine mode: synthetic fast5 files to generate")
     ap.add_argument("--reads-per-file", type=int, default=8,
                     help="engine mode: reads per synthetic fast5 file")
+    ap.add_argument("--workers", type=int, default=8,
+                    help="engine mode: fast5 reader threads (ingest-wait "
+                         "was the top stage at 4 once decode hit 20k+)")
     ap.add_argument("--stage-times", action="store_true",
                     help="engine mode: print per-stage wall-time breakdown")
     args = ap.parse_args()
@@ -203,7 +206,7 @@ def main() -> None:
             config,
             model=dataclasses.replace(config.model, compute_dtype="bfloat16"),
         )
-    batch = args.batch or (64 if args.beam else 256)
+    batch = args.batch or (128 if args.beam else 512)
     config = dataclasses.replace(
         config, decode=dataclasses.replace(config.decode, batch_chunks=batch)
     )
