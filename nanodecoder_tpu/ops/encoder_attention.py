@@ -25,30 +25,33 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _enc_attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, heads, s):
-    # One grid step per batch row, heads unrolled inside: a (b, h) grid
-    # measured grid-overhead-bound (2048 steps of ~2 MFLOP each ->
-    # 1.63 ms/layer); per-row steps amortize the overhead 8x.  Operands
-    # arrive head-flattened (1, H*S, Dh) — static leading-dim slices
-    # are the layout Mosaic lowers cleanly (a (1, S, H, Dh) block with
-    # middle-dim indexing fails with 'unsupported shape cast').
-    b = pl.program_id(0)
-    n = len_ref[b]
-    for hi in range(heads):
-        q = q_ref[0, hi * s:(hi + 1) * s, :]           # (S, Dh)
-        k = k_ref[0, hi * s:(hi + 1) * s, :]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (S, S) f32
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < n, logits, NEG_INF)
-        m = jnp.max(logits, axis=1, keepdims=True)
-        e = jnp.exp(logits - m)
-        p = e / jnp.sum(e, axis=1, keepdims=True)
-        o_ref[0, hi * s:(hi + 1) * s, :] = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, hi * s:(hi + 1) * s, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+def _enc_attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref,
+                     *, scale, heads, s, rows):
+    # `rows` batch rows x `heads` per grid step, fully unrolled: a
+    # (b, h) grid measured grid-overhead-bound (2048 steps of ~2 MFLOP
+    # each -> 1.63 ms/layer); one-row steps got 0.85; multi-row blocks
+    # amortize further.  Operands arrive head-flattened (rows, H*S, Dh)
+    # — static leading-dim slices are the layout Mosaic lowers cleanly
+    # (a (1, S, H, Dh) block with middle-dim indexing fails with
+    # 'unsupported shape cast').
+    g = pl.program_id(0)
+    for r in range(rows):
+        n = len_ref[g * rows + r]
+        for hi in range(heads):
+            q = q_ref[r, hi * s:(hi + 1) * s, :]           # (S, Dh)
+            k = k_ref[r, hi * s:(hi + 1) * s, :]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (S, S) f32
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < n, logits, NEG_INF)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            o_ref[r, hi * s:(hi + 1) * s, :] = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[r, hi * s:(hi + 1) * s, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -58,15 +61,19 @@ def flash_encoder_attention(q, k, v, lengths, interpret: bool = False):
     masked key prefix (same math as modules.attention_core for MHA)."""
     b, s, h, dh = q.shape
     scale = 1.0 / (dh ** 0.5)
+    # rows=4 at (S=256, D=256) hit the 16 MB scoped-VMEM stack limit by
+    # 48 KB (4 x 4 x (H*S, Dh) bf16 blocks); 2 is the sweet spot.
+    rows = next(r for r in (2, 1) if b % r == 0)
 
     def flat(x):  # (B, S, H, Dh) -> (B, H*S, Dh)
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, h * s, dh)
 
-    spec = pl.BlockSpec((1, h * s, dh), lambda bi: (bi, 0, 0),
+    spec = pl.BlockSpec((rows, h * s, dh), lambda bi: (bi, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_enc_attn_kernel, scale=scale, heads=h, s=s),
-        grid=(b,),
+        functools.partial(_enc_attn_kernel, scale=scale, heads=h, s=s,
+                          rows=rows),
+        grid=(b // rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, h * s, dh), q.dtype),
