@@ -56,7 +56,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="device batches in flight (dispatch-ahead depth; "
                          "higher overlaps more transfer with compute)")
     ap.add_argument("--resume", action="store_true",
-                    help="skip reads already in <output>.done")
+                    help="append to an existing <output>: reads already "
+                         "present (scanned from the output itself, plus "
+                         "<output>.done) are skipped; a partial trailing "
+                         "record from a crash is truncated first, so no "
+                         "duplicates are possible")
     ap.add_argument("--cpu", action="store_true", help="run on CPU")
     ap.add_argument("--parity", action="store_true",
                     help="f32 parity mode (SURVEY.md R2) instead of bf16")
@@ -121,7 +125,8 @@ def main(argv=None) -> int:
     if args.min_len > 0:
         overrides.update(min_len=args.min_len)
     if args.batch_chunks > 0:
-        overrides.update(batch_chunks=args.batch_chunks)
+        overrides.update(batch_chunks=args.batch_chunks,
+                         batch_chunks_beam=args.batch_chunks)
     if overrides:
         config = dataclasses.replace(
             config, decode=dataclasses.replace(config.decode, **overrides)
@@ -146,20 +151,33 @@ def main(argv=None) -> int:
     out_path = args.output if pcount == 1 else host_shard_path(args.output)
 
     skip: set[str] = set()
-    done_path = args.output + ".done"
+    done_path = out_path + ".done"
+    out_mode = "w"
     if args.resume:
         import os
 
+        from nanodecoder_tpu.io.fastx import recover_fastx_output
+
+        # Ground truth = the output file itself: the engine flushes the
+        # done-log once per BATCH, so after a crash up to one batch of
+        # reads can be present in the output but absent from the done
+        # log — re-basecalling those would append duplicate records.
+        # recover_fastx_output scans the complete records (and truncates
+        # a partial trailing one) and we append from there.
         if os.path.exists(done_path):
             skip = set(open(done_path).read().split())
-            log.info("resume: skipping %d completed reads", len(skip))
+        emitted = recover_fastx_output(out_path, args.format)
+        skip |= emitted
+        out_mode = "a"
+        log.info("resume: skipping %d completed reads (%d from output scan)",
+                 len(skip), len(emitted))
 
     plan = make_mesh_plan(config.mesh) if jax.device_count() > 1 else None
     caller = StreamingBasecaller(params, config, mesh_plan=plan, depth=args.depth)
     from nanodecoder_tpu.utils.profiling import StageTimer
 
     timer = StageTimer() if args.stage_times else None
-    with open(out_path, "w") as out, open(done_path, "a") as done_log:
+    with open(out_path, out_mode) as out, open(done_path, "a") as done_log:
         meter = caller.run(
             files, out, stitch_method=args.stitch, skip_read_ids=skip,
             num_workers=args.workers, write_format=args.format,

@@ -151,13 +151,20 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     rc = main()
-    # Hard-exit after a clean run: the tunneled TPU plugin's atexit
-    # teardown has been observed to deadlock in a futex after the final
-    # checkpoint was already durably written (wait=True) — a hung
-    # trainer then holds the single device grant indefinitely.  All
-    # files are flushed by this point; skip interpreter teardown.
-    import os as _os
+    # Hard-exit ONLY when a TPU backend is attached: that plugin's
+    # atexit teardown has been observed to deadlock in a futex after
+    # the final checkpoint was already durably written (wait=True) — a
+    # hung trainer then holds the single device grant indefinitely.
+    # All files main() owns are flushed/closed by this point.  On CPU
+    # (or any non-TPU backend) normal interpreter teardown runs, so
+    # logging handlers / third-party atexit hooks are not dropped
+    # (ADVICE r3).
+    import jax as _jax
 
-    sys.stdout.flush()
-    sys.stderr.flush()
-    _os._exit(rc)
+    if _jax.default_backend() in ("tpu", "axon"):
+        import os as _os
+
+        sys.stdout.flush()
+        sys.stderr.flush()
+        _os._exit(rc)
+    sys.exit(rc)

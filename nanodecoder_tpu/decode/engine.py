@@ -149,7 +149,8 @@ class StreamingBasecaller:
         h2d = (np.float16 if cfg.model.compute_dtype == "bfloat16"
                else np.float32)
         pipe = AsyncChunkPipeline(
-            files, cfg.signal, cfg.decode.batch_chunks, num_workers=num_workers,
+            files, cfg.signal, cfg.decode.effective_batch_chunks(),
+            num_workers=num_workers,
             h2d_dtype=h2d,
         ).start()
         meter = meter or ThroughputMeter(n_reads=0)

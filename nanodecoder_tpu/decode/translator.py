@@ -165,7 +165,7 @@ class Translator:
         i transfers — no device round-trip per batch (the reference's
         per-step sync cost, paid per *batch*, removed here too).
         """
-        bsz = self.config.decode.batch_chunks
+        bsz = self.config.decode.effective_batch_chunks()
         n = chunks.shape[0]
         in_flight: list[tuple[int, tuple]] = []
         for i in range(0, n, bsz):

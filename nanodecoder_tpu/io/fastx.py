@@ -61,6 +61,37 @@ def write_fastq(records: Iterable[tuple[str, str, object]], out: TextIO) -> int:
     return n
 
 
+def recover_fastx_output(path: str, fmt: str = "fastq") -> set[str]:
+    """Prepare an existing FASTX output for resume-append: return the
+    read ids of every COMPLETE record and truncate any partial trailing
+    record (crash mid-write) so appending stays well-formed.
+
+    Closes the resume duplicate window (ADVICE r3): the engine flushes
+    the done-log once per batch, so reads already written here but with
+    unflushed ids would otherwise be re-basecalled and appear twice.
+    Scanning the real output is the ground truth the done-log
+    approximates."""
+    if not os.path.exists(path):
+        return set()
+    ids: set[str] = set()
+    good_end = 0
+    rec_lines = 4 if fmt == "fastq" else 2
+    lead = "@" if fmt == "fastq" else ">"
+    with open(path, "r+") as f:
+        while True:
+            rec = [f.readline() for _ in range(rec_lines)]
+            if not rec[0]:
+                break
+            if (not rec[0].startswith(lead)
+                    or not all(ln.endswith("\n") for ln in rec)
+                    or (fmt == "fastq" and not rec[2].startswith("+"))):
+                break  # partial / malformed tail — truncate from here
+            ids.add(rec[0][1:].rstrip("\n").split()[0])
+            good_end = f.tell()
+        f.truncate(good_end)
+    return ids
+
+
 def merge_fastx_shards(shard_paths: list[str], out_path: str, delete_shards: bool = False) -> None:
     """Concatenate per-host FASTX shard files into one output
     (SURVEY.md §2.5 host-side result merge)."""

@@ -29,9 +29,13 @@ Validation status: the writer and reader round-trip each other and
 follow the POD5 spec as published (pod5-file-format FILE_FORMAT.md +
 svb16); cross-validation against files produced by the official
 library is pending a real .pod5 fixture, which this image does not
-ship.  The reader is therefore tolerant: embedded tables are located
-via the footer, columns are looked up by name, and uncompressed
-large_list<int16> signal is accepted as well as vbz.
+ship.  The reader locates embedded tables via the footer and looks up
+columns by name (uncompressed large_list<int16> signal is accepted as
+well as vbz) but FAILS LOUDLY on structural inconsistency rather than
+decoding garbage: footer entries must lie inside the file, and the
+svb16 data-block length implied by the control bits must exactly match
+the stream (a keys-bit-order or layout mismatch vs another producer is
+caught there) — see svb16_decode.
 """
 
 from __future__ import annotations
@@ -120,13 +124,30 @@ def svb16_encode(values: np.ndarray, delta: bool = True, zigzag: bool = True) ->
 
 def svb16_decode(stream: bytes, count: int, delta: bool = True,
                  zigzag: bool = True) -> np.ndarray:
-    """svb16 stream + value count -> int16 array."""
+    """svb16 stream + value count -> int16 array.
+
+    Fails loudly on layout mismatch: the data-block length implied by
+    the control bits must EXACTLY equal the remaining stream bytes.  A
+    wrong keys-bit-order / layout assumption vs a file from another
+    producer changes the per-value byte counts and is caught here
+    instead of decoding garbage signal (ADVICE r3)."""
     n = count
     nkeys = (n + 7) // 8
+    if len(stream) < nkeys:
+        raise ValueError(
+            f"svb16 stream truncated: {len(stream)} bytes < {nkeys}-byte "
+            f"key block for {n} values")
     buf = np.frombuffer(stream, np.uint8)
     keys, data = buf[:nkeys], buf[nkeys:]
     bits = np.unpackbits(keys, bitorder="little")[:n].astype(np.int64)
     nbytes = 1 + bits
+    expected_data = int(nbytes.sum()) if n else 0
+    if expected_data != data.shape[0]:
+        raise ValueError(
+            f"svb16 layout mismatch: control bits imply {expected_data} "
+            f"data bytes but stream carries {data.shape[0]} — the file "
+            f"was likely written with a different svb16 variant "
+            f"(bit order / key layout); refusing to decode garbage")
     starts = np.cumsum(nbytes) - nbytes
     lo = data[starts].astype(np.uint16)
     hi = np.where(bits == 1, data[np.minimum(starts + 1, data.shape[0] - 1)], 0)
@@ -302,6 +323,12 @@ def read_pod5(path: str) -> list[Pod5Read]:
     footer = data[-32 - footer_len:-32]
     tables: dict[int, pa.Table] = {}
     for off, ln, _fmt, ctype in _parse_footer(footer):
+        if off < 0 or ln < 0 or off + ln > len(data):
+            # Fail loudly: a silently truncated slice would hand Arrow
+            # a partial buffer and could mis-parse (ADVICE r3).
+            raise ValueError(
+                f"{path}: footer entry [{off}, {off + ln}) exceeds file "
+                f"size {len(data)} — corrupt or incompatible footer")
         reader = pa_ipc.open_file(pa.BufferReader(data[off:off + ln]))
         tables[ctype] = reader.read_all()
     if CONTENT_READS_TABLE not in tables or CONTENT_SIGNAL_TABLE not in tables:

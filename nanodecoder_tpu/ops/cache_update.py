@@ -41,8 +41,8 @@ def _write_block_kernel(step_ref, slab_ref, cache_in_ref, out_ref, sem):
     copy.wait()
 
 
-@jax.jit
-def write_cache_block(cache, slab, step):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def write_cache_block(cache, slab, step, interpret: bool = False):
     """cache: (B, T, C) with T % 8 == 0; slab: (B, 8, C) holding the
     rows of the aligned 8-step block containing `step` (caller fills
     rows <= step%8, zeros the rest); step: scalar int32 in [0, T).
@@ -50,20 +50,26 @@ def write_cache_block(cache, slab, step):
     replaced by `slab` — in-place on TPU via one async DMA (only the
     block's bytes move; XLA's dynamic_update_slice on this T-minor-
     tiled buffer RMW'd every tile of the cache, 131-166 us/step in the
-    v5e device trace)."""
-    if jax.default_backend() != "tpu":
+    v5e device trace).
+
+    `interpret=True` runs the Pallas kernel body under the interpreter
+    (CI parity coverage of the DMA/alignment logic off-device); the
+    default on non-TPU backends is the semantically identical
+    dynamic_update_slice fallback."""
+    if not interpret and jax.default_backend() != "tpu":
         t0 = (step // BLOCK) * BLOCK
         return jax.lax.dynamic_update_slice_in_dim(
             cache, slab.astype(cache.dtype), t0, axis=1)
     b, t, c = cache.shape
     return pl.pallas_call(
         _write_block_kernel,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((b, t, c), cache.dtype),
         input_output_aliases={2: 0},
         scratch_shapes=[pltpu.SemaphoreType.DMA],

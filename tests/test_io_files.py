@@ -107,3 +107,51 @@ def test_merge_shards(tmp_path):
     assert text.index("@a") < text.index("@b")  # sorted shard order
     import os
     assert not os.path.exists(p1) and not os.path.exists(p2)
+
+
+class TestRecoverFastxOutput:
+    """Resume-append recovery (ADVICE r3 duplicate window)."""
+
+    def test_scans_complete_records_fastq(self, tmp_path):
+        from nanodecoder_tpu.io.fastx import recover_fastx_output, write_fastq
+
+        p = tmp_path / "out.fastq"
+        with open(p, "w") as f:
+            write_fastq([("r1", "ACGT", 20.0), ("r2 extra meta", "GG", 30.0)], f)
+        ids = recover_fastx_output(str(p))
+        assert ids == {"r1", "r2"}
+        # file untouched (no partial tail)
+        assert open(p).read().count("@") >= 2
+
+    def test_truncates_partial_tail(self, tmp_path):
+        from nanodecoder_tpu.io.fastx import recover_fastx_output, write_fastq
+
+        p = tmp_path / "out.fastq"
+        with open(p, "w") as f:
+            write_fastq([("r1", "ACGT", 20.0)], f)
+            f.write("@r2\nACG")  # crash mid-record, no trailing newline
+        ids = recover_fastx_output(str(p))
+        assert ids == {"r1"}
+        content = open(p).read()
+        assert "r2" not in content
+        assert content.endswith("\n")
+        # appending a new record keeps the file well-formed
+        from nanodecoder_tpu.io.fastx import write_fastq as wq
+
+        with open(p, "a") as f:
+            wq([("r3", "TT", 10.0)], f)
+        lines = open(p).read().splitlines()
+        assert len(lines) % 4 == 0 and lines[4] == "@r3"
+
+    def test_fasta_variant_and_missing_file(self, tmp_path):
+        from nanodecoder_tpu.io.fastx import recover_fastx_output, write_fasta
+
+        p = tmp_path / "out.fasta"
+        assert recover_fastx_output(str(p), "fasta") == set()
+        with open(p, "w") as f:
+            write_fasta([("a", "ACGT"), ("b", "G")], f)
+            f.write(">c\n")  # header written, sequence line lost... 
+        # ">c" has a newline but its sequence line is missing entirely
+        ids = recover_fastx_output(str(p), "fasta")
+        assert ids == {"a", "b"}
+        assert ">c" not in open(p).read()

@@ -108,3 +108,37 @@ class TestPod5Container:
         pipe = AsyncChunkPipeline([p], scfg, batch_chunks=4, num_workers=2)
         got = [rc.read.read_id for rc in pipe.read_stream()]
         assert sorted(got) == sorted(r.read_id for r in reads)
+
+
+class TestLoudFailure:
+    """ADVICE r3: structural mismatch must raise, not decode garbage."""
+
+    def test_svb16_wrong_data_length_raises(self):
+        from nanodecoder_tpu.io.pod5 import svb16_decode, svb16_encode
+
+        sig = np.asarray([0, 5, -300, 7, 40000 - 65536, 2], np.int16)
+        stream = svb16_encode(sig)
+        with pytest.raises(ValueError, match="svb16"):
+            svb16_decode(stream + b"\0", len(sig))
+        with pytest.raises(ValueError, match="svb16"):
+            svb16_decode(stream[:-1], len(sig))
+        # wrong count changes the implied layout -> loud failure (not
+        # guaranteed for every count, but for count-1 of this fixture)
+        with pytest.raises(ValueError, match="svb16"):
+            svb16_decode(stream, len(sig) - 1)
+
+    def test_footer_entry_out_of_bounds_raises(self, tmp_path):
+        from nanodecoder_tpu.io import pod5 as p5
+
+        path = str(tmp_path / "t.pod5")
+        p5.write_pod5(path, [p5.Pod5Read(read_id="r1",
+                                         signal=np.arange(100, dtype=np.int16))])
+        # Truncate the embedded tables: footer offsets now point past EOF.
+        data = open(path, "rb").read()
+        footer_len = int.from_bytes(data[-32:-24], "little", signed=True)
+        head = data[:24]  # signature + marker only
+        tail = data[-32 - footer_len:]
+        with open(path, "wb") as f:
+            f.write(head + tail)
+        with pytest.raises(ValueError, match="footer entry"):
+            p5.read_pod5(path)
