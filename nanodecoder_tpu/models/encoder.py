@@ -108,18 +108,21 @@ def transformer_encoder(p, cfg: ModelConfig, x, enc_lengths, rng=None, train=Fal
             # einsum materializes the f32 (B, H, S, S) logits to HBM
             # (~2.5 ms/layer at b=256, S=256 — device trace, round 3);
             # the kernel keeps scores/probs in VMEM.  Training keeps
-            # the differentiable XLA path.
+            # the differentiable XLA path.  The natural-layout (B, S, D)
+            # kernel slices heads on the lane dim IN-kernel: the
+            # round-3 head-flattened layout cost three (B, S, H, Dh)
+            # transpose copies in + one out per layer — ~12 ms of the
+            # 42 ms b512 program, more than the kernel itself (round-4
+            # device trace; 3.66 -> 1.86 ms/layer measured).
             from nanodecoder_tpu.ops.encoder_attention import (
-                flash_encoder_attention)
+                flash_encoder_attention_nld)
 
             ap = layer["attn"]
-            q = nn._split_heads(nn.dense(ap["q"], h), cfg.enc_heads)
-            kk = nn._split_heads(nn.dense(ap["k"], h), cfg.enc_heads)
-            vv = nn._split_heads(nn.dense(ap["v"], h), cfg.enc_heads)
-            ctx = flash_encoder_attention(
-                q, kk, vv, enc_lengths,
+            ctx = flash_encoder_attention_nld(
+                nn.dense(ap["q"], h), nn.dense(ap["k"], h),
+                nn.dense(ap["v"], h), enc_lengths, cfg.enc_heads,
                 interpret=jax.default_backend() != "tpu")
-            a = nn.dense(ap["o"], nn._merge_heads(ctx))
+            a = nn.dense(ap["o"], ctx)
         else:
             a, _ = nn.mha(layer["attn"], cfg.enc_heads, h, h, attn_mask,
                           cfg.dropout, r1, train)

@@ -358,6 +358,31 @@ class TestEncoderAttention:
                                    np.asarray(ref, np.float32),
                                    atol=atol, rtol=1e-2)
 
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_nld_kernel_matches_reference(self, rng_np, dtype):
+        """Natural-layout (B, S, D) kernel == 4-D reference (heads are
+        lane slices; _split_heads is a pure reshape, so merging the
+        reference's output over lanes is the same layout)."""
+        import jax.numpy as jnp
+
+        from nanodecoder_tpu.ops.encoder_attention import (
+            encoder_attention_reference, flash_encoder_attention_nld)
+
+        b, s, h, dh = 3, 64, 4, 16
+        dt = jnp.float32 if dtype == "float32" else jnp.bfloat16
+        q = jnp.asarray(rng_np.normal(size=(b, s, h, dh)), dt)
+        k = jnp.asarray(rng_np.normal(size=(b, s, h, dh)), dt)
+        v = jnp.asarray(rng_np.normal(size=(b, s, h, dh)), dt)
+        lens = jnp.asarray([s, s // 2, 5], jnp.int32)
+        ref = encoder_attention_reference(q, k, v, lens).reshape(b, s, h * dh)
+        got = flash_encoder_attention_nld(
+            q.reshape(b, s, h * dh), k.reshape(b, s, h * dh),
+            v.reshape(b, s, h * dh), lens, h, interpret=True)
+        atol = 2e-5 if dtype == "float32" else 5e-2
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=atol, rtol=1e-2)
+
     def test_full_encoder_parity(self, rng_np):
         """Pallas-encoder output == XLA-encoder output (f32, eval)."""
         import dataclasses as dc
