@@ -24,7 +24,8 @@ import time
 
 
 def _bench_engine(args, config, params) -> None:
-    """Full streaming basecall throughput: synthetic fast5 flowcell ->
+    """Full streaming basecall throughput: synthetic fast5 (or pod5,
+    --pod5 — the SURVEY §7 R5 columnar-ingest comparison) flowcell ->
     async ingest -> device decode -> stitch -> FASTQ (discarded)."""
     import io as _io
     import tempfile
@@ -43,17 +44,28 @@ def _bench_engine(args, config, params) -> None:
     n_files, reads_per_file = args.files, args.reads_per_file
     files = []
     for fi in range(n_files):
-        path = os.path.join(tmp, f"r{fi}.fast5")
-        with h5py.File(path, "w") as f:
-            for ri in range(reads_per_file):
-                n_bases = int(rng.integers(2000, 6000))
-                _seq, sig = simulate_read(rng, n_bases, spec, levels)
-                raw = f.create_group(f"read_bench{fi}_{ri}/Raw")
-                raw.attrs["read_id"] = f"bench{fi}_{ri}".encode()
-                raw.create_dataset("Signal", data=(sig * 1000).astype(np.int16))
+        reads = []
+        for ri in range(reads_per_file):
+            n_bases = int(rng.integers(2000, 6000))
+            _seq, sig = simulate_read(rng, n_bases, spec, levels)
+            reads.append((f"bench{fi}_{ri}", (sig * 1000).astype(np.int16)))
+        if args.pod5:
+            from nanodecoder_tpu.io.pod5 import Pod5Read, write_pod5
+
+            path = os.path.join(tmp, f"r{fi}.pod5")
+            write_pod5(path, [Pod5Read(read_id=rid, signal=s)
+                              for rid, s in reads])
+        else:
+            path = os.path.join(tmp, f"r{fi}.fast5")
+            with h5py.File(path, "w") as f:
+                for rid, s in reads:
+                    raw = f.create_group(f"read_{rid}/Raw")
+                    raw.attrs["read_id"] = rid.encode()
+                    raw.create_dataset("Signal", data=s)
         files.append(path)
 
-    caller = StreamingBasecaller(params, config, depth=args.depth)
+    caller = StreamingBasecaller(params, config, depth=args.depth,
+                                 attn_pos=False)  # bench stitch=trim
     # Warmup pass (compile) on one file.
     caller.run(files[:1], _io.StringIO(), num_workers=args.workers)
     meter = ThroughputMeter(n_reads=0)
@@ -71,20 +83,43 @@ def _bench_engine(args, config, params) -> None:
     if timer is not None:
         summary = timer.summary()
         print(f"# stage times: {summary}", file=sys.stderr)
-        # Committed stage budget (VERDICT r2 item 3): which wall-time
-        # goes to ingest-wait / H2D+dispatch / D2H collect / host
-        # stitch+write.  dispatch+collect minus the known device compute
-        # time isolates the tunnel-relay residual in one number.
+        # Wall-time-ATTRIBUTED stage budget (VERDICT r3 weak #2): the
+        # producer loop and the collector thread run concurrently, so
+        # raw stage totals can exceed wall.  Each chain's stages sum to
+        # that chain's busy time; the binding chain is the one whose
+        # total approaches the wall.  backpressure-wait on the producer
+        # = waiting for device+collector; d2h-wait on the collector =
+        # relay transfer completion.
+        wall = summary.get("wall", {}).get("total_sec", 0.0)
+
+        def _chain(names):
+            return {
+                "stages": {n: round(summary[n]["total_sec"], 4)
+                           for n in names if n in summary},
+                "total_sec": round(sum(summary[n]["total_sec"]
+                                       for n in names if n in summary), 4),
+            }
+
+        producer = _chain(["ingest-wait", "dispatch", "backpressure-wait"])
+        collector = _chain(["d2h-wait", "stitch+write"])
+        binding = ("producer" if producer["total_sec"] >= collector["total_sec"]
+                   else "collector")
         art = {
-            "config": {"batch_chunks": config.decode.batch_chunks,
-                       "depth": args.depth,
+            "config": {"batch_chunks": config.decode.effective_batch_chunks(),
+                       "depth": args.depth, "workers": args.workers,
+                       "format": "pod5" if args.pod5 else "fast5",
                        "compute_dtype": config.model.compute_dtype,
                        "files": n_files, "reads_per_file": reads_per_file},
             "reads": meter2.n_reads, "chunks": meter2.n_chunks,
             "rates": rates,
+            "wall_sec": round(wall, 4),
+            "producer_chain": producer,
+            "collector_chain": collector,
+            "binding_chain": binding,
             "stages_sec": summary,
-            "note": "stages overlap (collector thread + dispatch-ahead);"
-                    " totals can exceed wall time",
+            "note": "each chain's stages sum to that chain's busy time; "
+                    "chains run concurrently (collector thread + "
+                    "dispatch-ahead), so chain totals need not sum to wall",
         }
         os.makedirs("bench_results", exist_ok=True)
         with open("bench_results/engine_stages.json", "w") as f:
@@ -117,6 +152,9 @@ def main() -> None:
                     help="decode in float32 parity mode (default: bfloat16 "
                          "fast mode — measured identity delta < 1e-4, see "
                          "docs/PERF.md)")
+    ap.add_argument("--h2d", default="",
+                    help="override signal H2D wire dtype: float32 | float16 "
+                         "| int8 (default: config / auto — f16 in bf16 mode)")
     ap.add_argument("--int8-cross", action="store_true",
                     help="int8 cross-K/V decode caches (halves the decode "
                          "loop's dominant HBM traffic; see docs/PERF.md "
@@ -137,6 +175,9 @@ def main() -> None:
                     help="engine mode: synthetic fast5 files to generate")
     ap.add_argument("--reads-per-file", type=int, default=8,
                     help="engine mode: reads per synthetic fast5 file")
+    ap.add_argument("--pod5", action="store_true",
+                    help="engine mode: generate pod5 instead of fast5 "
+                         "(columnar-ingest comparison, SURVEY §7 R5)")
     ap.add_argument("--workers", type=int, default=8,
                     help="engine mode: fast5 reader threads (ingest-wait "
                          "was the top stage at 4 once decode hit 20k+)")
@@ -206,6 +247,10 @@ def main() -> None:
             config,
             model=dataclasses.replace(config.model, compute_dtype="bfloat16"),
         )
+    if args.h2d:
+        config = dataclasses.replace(
+            config, decode=dataclasses.replace(config.decode, h2d_dtype=args.h2d)
+        )
     batch = args.batch or (128 if args.beam else 512)
     config = dataclasses.replace(
         config, decode=dataclasses.replace(config.decode, batch_chunks=batch)
@@ -237,7 +282,10 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    jc, jl = jnp.asarray(chunks), jnp.asarray(lengths)
+    from nanodecoder_tpu.io.signal import convert_h2d
+
+    wire = convert_h2d(chunks, translator._h2d, config.signal.clip_sigma)
+    jc, jl = jnp.asarray(wire), jnp.asarray(lengths)
 
     # Warmup (compile) — excluded from timing.
     t0 = time.perf_counter()

@@ -51,7 +51,14 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--stitch", choices=["trim", "align", "attn"], default="trim",
                     help="chunk merge rule: proportional trim, overlap "
                          "alignment, or attention-position (greedy only)")
-    ap.add_argument("--workers", type=int, default=4, help="ingest reader threads")
+    ap.add_argument("--workers", type=int, default=8,
+                    help="ingest worker processes (subprocess pool; thread "
+                         "mode measured zero worker scaling — io/pipeline)")
+    ap.add_argument("--h2d", default="",
+                    help="signal H2D wire dtype: float32 | float16 | int8 "
+                         "(default auto: f16 in bf16 mode; int8 halves the "
+                         "dominant transfer — identity impact in "
+                         "bench_results/identity_r04.jsonl)")
     ap.add_argument("--depth", type=int, default=4,
                     help="device batches in flight (dispatch-ahead depth; "
                          "higher overlaps more transfer with compute)")
@@ -124,6 +131,8 @@ def main(argv=None) -> int:
                          sampling_seed=args.sampling_seed)
     if args.min_len > 0:
         overrides.update(min_len=args.min_len)
+    if args.h2d:
+        overrides.update(h2d_dtype=args.h2d)
     if args.batch_chunks > 0:
         overrides.update(batch_chunks=args.batch_chunks,
                          batch_chunks_beam=args.batch_chunks)
@@ -173,7 +182,9 @@ def main(argv=None) -> int:
                  len(skip), len(emitted))
 
     plan = make_mesh_plan(config.mesh) if jax.device_count() > 1 else None
-    caller = StreamingBasecaller(params, config, mesh_plan=plan, depth=args.depth)
+    caller = StreamingBasecaller(params, config, mesh_plan=plan,
+                                 depth=args.depth,
+                                 attn_pos=args.stitch == "attn")
     from nanodecoder_tpu.utils.profiling import StageTimer
 
     timer = StageTimer() if args.stage_times else None

@@ -65,6 +65,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=None,
                     help="fused Pallas decode kernels (default: on when "
                          "running on TPU)")
+    ap.add_argument("--h2d", default="",
+                    help="signal H2D wire dtype override: float32 | float16 "
+                         "| int8 (measures the engine's wire numerics)")
     ap.add_argument("--int8-cross", action="store_true",
                     help="int8 cross-K/V decode caches (perf mode; this "
                          "flag exists to quantify its identity delta)")
@@ -127,6 +130,11 @@ def main(argv=None) -> int:
             config = dataclasses.replace(
                 config, model=dataclasses.replace(config.model,
                                                   cross_cache_int8=True)
+            )
+        if args.h2d:
+            config = dataclasses.replace(
+                config, decode=dataclasses.replace(config.decode,
+                                                   h2d_dtype=args.h2d)
             )
         tr = Translator(params, config)
         spec = SimSpec()

@@ -150,6 +150,21 @@ class DecodeConfig:
     # carry BOTH published operating points (VERDICT r3 weak #5).
     batch_chunks_beam: int = 0
     use_pallas: bool = True       # pallas attention kernels on TPU hot path
+    # Signal host->device dtype.  The engine's H2D transfer is its
+    # single largest link cost (2 MB f32 per 512-chunk batch; the
+    # tunneled relay moves ~26 MB/s).  "auto" = float16 when compute is
+    # bfloat16 (f16 z-scores are finer than the bf16 compute
+    # quantization), float32 in parity mode.  "int8" quantizes the
+    # +-clip_sigma z-scores to 127 steps (~0.04 sigma resolution) and
+    # dequantizes on device — halves the transfer again; identity
+    # impact measured in bench_results/identity_r04.jsonl.
+    h2d_dtype: str = "auto"       # "auto" | "float32" | "float16" | "int8"
+
+    def resolve_h2d(self, compute_dtype: str) -> str:
+        """Concrete H2D dtype name for the active compute dtype."""
+        if self.h2d_dtype != "auto":
+            return self.h2d_dtype
+        return "float16" if compute_dtype == "bfloat16" else "float32"
 
     def effective_batch_chunks(self) -> int:
         """Device batch for the active decode mode."""

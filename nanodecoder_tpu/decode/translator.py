@@ -72,6 +72,15 @@ class Translator:
         self.params = jax.device_put(params)
         self.config = config
         self.vocab = make_vocab(config.model.kmer_k)
+        # H2D wire dtype (config.DecodeConfig.h2d_dtype): chunks are
+        # converted host-side in decode_chunk_batch and dequantized at
+        # the top of each program — the evaluate CLI therefore measures
+        # the SAME numerics the streaming engine serves.
+        from nanodecoder_tpu.io.signal import h2d_int8_scale
+
+        self._h2d = np.dtype(config.decode.resolve_h2d(config.model.compute_dtype))
+        self._h2d_scale = (h2d_int8_scale(config.signal.clip_sigma)
+                           if self._h2d == np.int8 else 1.0)
         mode = config.decode.mode
         if mode == "greedy":
             self._decode_p = jax.jit(self._greedy_program)
@@ -99,6 +108,7 @@ class Translator:
 
     def _greedy_program(self, params, signal, lengths):
         cfg = self.config.model
+        signal = signal.astype(jnp.float32) * self._h2d_scale
         memory, mem_lengths = encode(params, cfg, signal, lengths)
         res = greedy_decode(params, cfg, memory, mem_lengths,
                             min_len=self.config.decode.min_len)
@@ -109,6 +119,7 @@ class Translator:
 
     def _sample_program(self, params, signal, lengths, key):
         cfg = self.config.model
+        signal = signal.astype(jnp.float32) * self._h2d_scale
         memory, mem_lengths = encode(params, cfg, signal, lengths)
         res = sample_decode(params, cfg, self.config.decode, memory,
                             mem_lengths, key)
@@ -145,13 +156,18 @@ class Translator:
             cfg, dcfg = self.config.model, self.config.decode
 
             def program(params, signal, lengths):
+                signal = signal.astype(jnp.float32) * self._h2d_scale
                 memory, mem_lengths = encode(params, cfg, signal, lengths)
                 res = beam_decode(params, cfg, dcfg, memory, mem_lengths)
                 nb = min(dcfg.n_best, dcfg.beam_size)
                 return res.tokens[:, :nb], res.lengths[:, :nb], res.scores[:, :nb]
 
             self._nbest_p = jax.jit(program)
-        tok, tl, sc = self._nbest_p(self.params, jnp.asarray(chunks), jnp.asarray(lengths))
+        from nanodecoder_tpu.io.signal import convert_h2d
+
+        wire = convert_h2d(np.asarray(chunks, np.float32), self._h2d,
+                           self.config.signal.clip_sigma)
+        tok, tl, sc = self._nbest_p(self.params, jnp.asarray(wire), jnp.asarray(lengths))
         return np.asarray(tok), np.asarray(tl), np.asarray(sc)
 
     # --- chunk-batch plumbing -------------------------------------------
@@ -177,8 +193,12 @@ class Translator:
                     [batch, np.zeros((bsz - real, batch.shape[1]), batch.dtype)]
                 )
                 blen = np.concatenate([blen, np.zeros((bsz - real,), blen.dtype)])
+            from nanodecoder_tpu.io.signal import convert_h2d
+
+            wire = convert_h2d(np.asarray(batch, np.float32), self._h2d,
+                               self.config.signal.clip_sigma)
             in_flight.append(
-                (real, self._decode_jit(jnp.asarray(batch), jnp.asarray(blen)))
+                (real, self._decode_jit(jnp.asarray(wire), jnp.asarray(blen)))
             )
         outs: list[list[np.ndarray]] = [[], [], [], [], []]
         for real, results in in_flight:

@@ -18,6 +18,7 @@ queues.
 from __future__ import annotations
 
 import dataclasses
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -27,7 +28,8 @@ import numpy as np
 
 from nanodecoder_tpu.config import SignalConfig
 from nanodecoder_tpu.io.fast5 import RawRead, iter_fast5_reads, list_signal_files, read_fast5_file
-from nanodecoder_tpu.io.signal import ChunkBatch, chunk_signal, normalize_signal
+from nanodecoder_tpu.io.signal import (ChunkBatch, chunk_signal, convert_h2d,
+                                        normalize_signal)
 from nanodecoder_tpu.utils.logging import get_logger
 
 log = get_logger("pipeline")
@@ -56,6 +58,74 @@ class PackedBatch:
 
 
 _SENTINEL = object()
+_EMPTY_SIGNAL = np.zeros((0,), np.float32)
+
+
+def _ingest_file_worker(path: str, scfg: SignalConfig, h2d_name: str):
+    """Full per-file ingest, run in a SUBPROCESS (process ingest mode):
+    h5py/pod5 read, per-read normalization, chunking, and the H2D dtype
+    cast all happen outside the parent's GIL.
+
+    Measured motivation (round 4, 16 files x 24 reads): thread-mode
+    ingest showed ZERO scaling from 1 to 16 workers (40 ms/batch flat)
+    — h5py's global lock plus numpy's small-array ops (median/MAD on
+    ~34k samples) hold the GIL, and the engine's collector/stitch
+    threads compete for it.  The returned reads carry an EMPTY signal
+    array (the raw signal is dead weight after chunking — sample counts
+    live in ChunkBatch.total_samples); only the f16 chunks cross the
+    process pipe (~3.4 MB/file)."""
+    out = []
+    for read in read_fast5_file(path):
+        norm = normalize_signal(read.signal, scfg.normalization,
+                                scfg.mad_scale, scfg.clip_sigma)
+        cb = chunk_signal(norm, scfg.chunk_len, scfg.chunk_overlap,
+                          scfg.min_chunk_fill)
+        cb = dataclasses.replace(
+            cb, chunks=convert_h2d(cb.chunks, np.dtype(h2d_name),
+                                   scfg.clip_sigma))
+        slim = RawRead(read_id=read.read_id, signal=_EMPTY_SIGNAL,
+                       source_file=read.source_file)
+        out.append(ReadChunks(read=slim, chunks=cb))
+    return out
+
+
+_INGEST_POOL = None
+_INGEST_POOL_WORKERS = 0
+_INGEST_POOL_LOCK = threading.Lock()
+
+
+def _get_ingest_pool(num_workers: int):
+    """Process-global persistent ingest pool (forkserver context).
+
+    forkserver: worker processes fork from a clean single-threaded
+    server, never from this multi-threaded jax/TPU parent (Python 3.12
+    warns that such forks can deadlock in the child).  The server
+    preloads the worker module so each worker starts warm.  The pool
+    is grown (never shrunk) to the largest worker count requested and
+    reused across pipelines/runs."""
+    global _INGEST_POOL, _INGEST_POOL_WORKERS
+    with _INGEST_POOL_LOCK:
+        if _INGEST_POOL is None or _INGEST_POOL_WORKERS < num_workers:
+            from concurrent.futures import ProcessPoolExecutor
+
+            ctx = multiprocessing.get_context("forkserver")
+            try:
+                ctx.set_forkserver_preload(["nanodecoder_tpu.io.pipeline"])
+            except Exception:  # pragma: no cover — preload is an optimization
+                pass
+            old = _INGEST_POOL
+            _INGEST_POOL = ProcessPoolExecutor(max_workers=num_workers,
+                                               mp_context=ctx)
+            _INGEST_POOL_WORKERS = num_workers
+            if old is not None:
+                old.shutdown(wait=False, cancel_futures=True)
+            else:
+                import atexit
+
+                atexit.register(
+                    lambda: _INGEST_POOL and _INGEST_POOL.shutdown(
+                        wait=False, cancel_futures=True))
+    return _INGEST_POOL
 
 
 class AsyncChunkPipeline:
@@ -74,20 +144,33 @@ class AsyncChunkPipeline:
         scfg: SignalConfig,
         batch_chunks: int,
         num_workers: int = 4,
-        queue_depth: int = 16,
+        queue_depth: int = 64,
         h2d_dtype=np.float32,
+        ingest: str = "process",
     ):
         """`h2d_dtype`: dtype of the packed batch arrays.  float16
         halves the host->device transfer (the tunneled relay moves
         ~26 MB/s, so the 2 MB f32 signal batch is a first-order engine
         cost); z-scored signal clipped to +-5 sigma loses less
         precision in f16 than the bf16 compute path quantizes anyway,
-        so the engine selects f16 whenever compute_dtype is bfloat16."""
+        so the engine selects f16 whenever compute_dtype is bfloat16.
+
+        `ingest`: "process" (default) runs per-file ingest in a
+        subprocess pool — thread mode measured ZERO worker scaling
+        (h5py lock + GIL; see _ingest_file_worker); "thread" keeps the
+        in-process pool (no pickling, exercised by tests and useful
+        when fork is unavailable)."""
         self.files = files
         self.scfg = scfg
         self.h2d_dtype = np.dtype(h2d_dtype)
         self.batch_chunks = batch_chunks
         self.num_workers = num_workers
+        if ingest not in ("process", "thread"):
+            raise ValueError(f"unknown ingest mode {ingest!r}")
+        self.ingest = ingest
+        # queue_depth 64 reads ~= 2.4 batches at batch_chunks=512 (one
+        # read is ~19 chunks); the old 16 could not hold even ONE
+        # batch ahead of the consumer.
         self.read_queue: queue.Queue = queue.Queue(maxsize=queue_depth)
         self.reads: list[ReadChunks] = []
         self._stop = threading.Event()
@@ -123,16 +206,50 @@ class AsyncChunkPipeline:
 
     def _producer(self) -> None:
         try:
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for result in pool.map(self._process_file, self.files):
-                    for rc in result:
-                        if not self._put(rc):
-                            return
+            if self.ingest == "process":
+                self._producer_process_pool()
+            else:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for result in pool.map(self._process_file, self.files):
+                        for rc in result:
+                            if not self._put(rc):
+                                return
         except Exception as e:  # surface ingest errors to the consumer
             log.error("ingest failed: %s", e)
             self._put(e)
         finally:
             self._put(_SENTINEL)
+
+    def _producer_process_pool(self) -> None:
+        """Subprocess-pool ingest: real parallelism for the h5py+numpy
+        per-file work.  At most 2*workers files are in flight; results
+        are consumed in submission order (file order preserved,
+        matching thread mode).  The pool is process-global and
+        persistent (_get_ingest_pool): forkserver children are clean
+        single-purpose processes — fork()ing this heavily threaded
+        (engine collector/D2H/jax) parent risks inheriting a held lock
+        in the child — and reuse avoids respawning workers every run."""
+        import collections as _collections
+
+        h2d_name = self.h2d_dtype.name
+        pool = _get_ingest_pool(self.num_workers)
+        futs: _collections.deque = _collections.deque()
+        it = iter(self.files)
+
+        def submit_next() -> None:
+            path = next(it, None)
+            if path is not None:
+                futs.append(pool.submit(_ingest_file_worker, path,
+                                        self.scfg, h2d_name))
+
+        for _ in range(2 * self.num_workers):
+            submit_next()
+        while futs and not self._stop.is_set():
+            result = futs.popleft().result()
+            submit_next()
+            for rc in result:
+                if not self._put(rc):
+                    return
 
     def start(self) -> "AsyncChunkPipeline":
         self._producer_thread = threading.Thread(target=self._producer, daemon=True)
@@ -176,8 +293,13 @@ class AsyncChunkPipeline:
             n_real = len(buf_chunks)
             chunks = np.zeros((bsz, clen), self.h2d_dtype)
             lengths = np.zeros((bsz,), np.int32)
+            quantize = self.h2d_dtype == np.int8
             for i, (c, l) in enumerate(zip(buf_chunks, buf_lens)):
-                chunks[i] = c
+                # Process-mode rows arrive pre-converted; thread-mode
+                # f32 rows into an int8 buffer need the rint quantizer
+                # (plain assignment would truncate toward zero).
+                chunks[i] = (convert_h2d(c, self.h2d_dtype, self.scfg.clip_sigma)
+                             if quantize and c.dtype != np.int8 else c)
                 lengths[i] = l
             pb = PackedBatch(chunks=chunks, lengths=lengths,
                              sources=list(buf_src), n_real=n_real)

@@ -115,6 +115,36 @@ class TestStreamingEngine:
         assert meter.n_reads == 4
         assert meter.n_samples == sum(len(s) for s in reads.values())
 
+    def test_no_attn_pos_matches_default(self, tiny_params, tiny_config,
+                                         tmp_path, rng_np):
+        """attn_pos=False (positions never cross the link) must produce
+        byte-identical trim-stitched output to the default program."""
+        from nanodecoder_tpu.decode.engine import StreamingBasecaller
+
+        reads = {f"r{i}": rng_np.normal(0, 300, size=600) for i in range(3)}
+        _write_multi_fast5(str(tmp_path / "np.fast5"), reads)
+        out_a, out_b = io.StringIO(), io.StringIO()
+        StreamingBasecaller(tiny_params, tiny_config).run(
+            [str(tmp_path / "np.fast5")], out_a)
+        StreamingBasecaller(tiny_params, tiny_config, attn_pos=False).run(
+            [str(tmp_path / "np.fast5")], out_b)
+        assert out_a.getvalue() == out_b.getvalue()
+
+    def test_int8_h2d_mode_runs(self, tiny_params, tiny_config, tmp_path,
+                                rng_np):
+        import dataclasses as dc
+
+        from nanodecoder_tpu.decode.engine import StreamingBasecaller
+
+        cfg = dc.replace(tiny_config, decode=dc.replace(
+            tiny_config.decode, h2d_dtype="int8"))
+        reads = {f"r{i}": rng_np.normal(0, 300, size=600) for i in range(2)}
+        _write_multi_fast5(str(tmp_path / "i8.fast5"), reads)
+        out = io.StringIO()
+        meter = StreamingBasecaller(tiny_params, cfg).run(
+            [str(tmp_path / "i8.fast5")], out)
+        assert meter.n_reads == 2 and out.getvalue().count("@") >= 2
+
     def test_resume_skips(self, engine, tmp_path, rng_np):
         reads = {f"r{i}": rng_np.normal(0, 300, size=500) for i in range(3)}
         _write_multi_fast5(str(tmp_path / "b.fast5"), reads)

@@ -172,3 +172,50 @@ class TestAttnStitch:
 
         assert stitch_chunks_attn(["ACG"], [np.array([1, 2, 3])],
                                   np.array([0]), np.array([100])) == "ACG"
+
+
+class TestH2DInt8:
+    def test_quantize_roundtrip_error_bound(self, rng_np):
+        from nanodecoder_tpu.io.signal import h2d_int8_scale, quantize_h2d_int8
+
+        x = np.clip(rng_np.normal(size=(4096,)).astype(np.float32) * 2, -5, 5)
+        q = quantize_h2d_int8(x, 5.0)
+        back = q.astype(np.float32) * h2d_int8_scale(5.0)
+        # max error = half a quantization step
+        assert np.max(np.abs(back - x)) <= 5.0 / 127.0 / 2 + 1e-6
+        assert q.dtype == np.int8
+
+    def test_convert_h2d_dispatch(self, rng_np):
+        from nanodecoder_tpu.io.signal import convert_h2d
+
+        x = rng_np.normal(size=(8, 16)).astype(np.float32)
+        assert convert_h2d(x, np.dtype(np.float16), 5.0).dtype == np.float16
+        assert convert_h2d(x, np.dtype(np.int8), 5.0).dtype == np.int8
+        np.testing.assert_array_equal(convert_h2d(x, np.dtype(np.float32), 5.0), x)
+
+    def test_translator_int8_mode_decodes(self, rng_np, tiny_trained_setup=None):
+        """int8 wire mode runs end-to-end and produces tokens close to
+        the f32 path (same model, tiny config)."""
+        import dataclasses as dc
+
+        import jax
+
+        from nanodecoder_tpu.config import tiny_test_config
+        from nanodecoder_tpu.decode.translator import Translator
+        from nanodecoder_tpu.models.model import init_model
+
+        cfg = tiny_test_config()
+        params = init_model(jax.random.PRNGKey(0), cfg.model)
+        chunks = np.clip(rng_np.normal(size=(4, cfg.signal.chunk_len)), -5, 5
+                         ).astype(np.float32)
+        lens = np.full((4,), cfg.signal.chunk_len, np.int32)
+        t32 = Translator(params, cfg)
+        cfg8 = dc.replace(cfg, decode=dc.replace(cfg.decode, h2d_dtype="int8"))
+        t8 = Translator(params, cfg8)
+        out32 = t32.decode_chunk_batch(chunks, lens)
+        out8 = t8.decode_chunk_batch(chunks, lens)
+        # ~0.02 sigma input noise: decode lengths stay close; token
+        # streams may differ on near-ties, so just require the program
+        # to run and produce same-shape outputs with plausible lengths.
+        assert out8[0].shape == out32[0].shape
+        assert np.all(out8[1] >= 0)
