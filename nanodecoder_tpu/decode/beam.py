@@ -58,30 +58,34 @@ def _gather_beams(x, idx):
     return jax.vmap(lambda row, i: row[i])(x, idx)
 
 
-def _backtrack(tok_hist, org_hist, lp_hist, pos_hist, eos_at, start_beam,
-               emit_eos, fin_lp, fin_pos, tmax):
+def _backtrack(hist, eos_at, start_beam, emit_eos, fin_lp, fin_pos, tmax):
     """Reconstruct sequences (+ per-token log-probs and attention
     positions) from backpointers.
 
-    tok_hist/org_hist/lp_hist/pos_hist: (B, K, T) — token emitted by /
-    origin of / chosen-token log-prob of / cross-attn position of alive
-    beam j at step t.  For each output slot (B, S): `eos_at` is the
-    position of the final token (EOS for finished hypotheses, one past
-    the last token for alive fallbacks), `start_beam` the alive-beam
-    index the path ends in, `emit_eos` whether position eos_at holds
-    EOS (whose log-prob / position are `fin_lp` / `fin_pos`, recorded
-    at finalization — EOS never enters the alive histories).
-    eos_at = -1 yields an all-PAD row.  Returns (tokens, lps, pos),
-    each (B, S, T).
+    hist: (B, K, T, 4) f32 — channels (token, origin, log-prob,
+    cross-attn position) of alive beam j at step t, packed into ONE
+    tensor so the loop writes one slice and this scan gathers once per
+    step (four separate (B, K, T) histories cost 4 gathers + 4 DUS per
+    step of ~4 us fixed cost each — round-4 beam trace).  Integer
+    channels are exact in f32 (tokens < 2^9, positions < 2^11).
+
+    For each output slot (B, S): `eos_at` is the position of the final
+    token (EOS for finished hypotheses, one past the last token for
+    alive fallbacks), `start_beam` the alive-beam index the path ends
+    in, `emit_eos` whether position eos_at holds EOS (whose log-prob /
+    position are `fin_lp` / `fin_pos`, recorded at finalization — EOS
+    never enters the alive histories).  eos_at = -1 yields an all-PAD
+    row.  Returns (tokens, lps, pos), each (B, S, T).
     """
     b, s = eos_at.shape
 
     def step(cur, t):
         # cur: (B, S) alive-beam index valid for reading step t.
-        read = jnp.take_along_axis(tok_hist[:, :, t], cur, axis=1)  # (B, S)
-        nxt = jnp.take_along_axis(org_hist[:, :, t], cur, axis=1)
-        lp_read = jnp.take_along_axis(lp_hist[:, :, t], cur, axis=1)
-        pos_read = jnp.take_along_axis(pos_hist[:, :, t], cur, axis=1)
+        r4 = jnp.take_along_axis(hist[:, :, t, :], cur[:, :, None], axis=1)
+        read = r4[..., 0].astype(jnp.int32)
+        nxt = r4[..., 1].astype(jnp.int32)
+        lp_read = r4[..., 2]
+        pos_read = r4[..., 3].astype(jnp.int32)
         at_eos = (t == eos_at) & emit_eos
         before = t < eos_at
         out = jnp.where(at_eos, EOS_ID,
@@ -163,22 +167,20 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
             jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)])[None, :],
             (b, 1),
         ).astype(jnp.float32),
-        # Backpointer history of the alive set (written, never gathered).
-        tok_hist=jnp.full((b, k, tmax), PAD_ID, jnp.int32),
-        org_hist=jnp.zeros((b, k, tmax), jnp.int32),
+        # Backpointer history of the alive set (written, never gathered
+        # in-loop): ONE (B, K, T, 4) f32 tensor packing (token, origin,
+        # log-prob, attn position) — see _backtrack.
+        hist=jnp.zeros((b, k, tmax, 4), jnp.float32),
         # Finished-set metadata; sequences are reconstructed post-loop.
+        # fin_scores stays separate (the top_k operand); the five
+        # bookkeeping fields are packed (B, K, 5) f32 channels
+        # (eos step, parent beam, finished flag, EOS log-prob, EOS attn
+        # position) so the per-step merge is ONE gather instead of five.
         fin_scores=jnp.full((b, k), NEG_INF, jnp.float32),
-        fin_step=jnp.full((b, k), -1, jnp.int32),   # position of EOS
-        fin_origin=jnp.zeros((b, k), jnp.int32),    # parent alive beam at fin_step-1
-        fin_flags=jnp.zeros((b, k), jnp.bool_),
-        fin_lp=jnp.zeros((b, k), jnp.float32),      # log-prob of the EOS token
-        fin_pos=jnp.zeros((b, k), jnp.int32),       # attn position of the EOS token
-        # Per-token log-prob / cross-attn position of the alive set
-        # (backpointer histories, like tok_hist — reconstructed by
-        # _backtrack so beam mode gets real Phred strings and the attn
-        # stitcher, same as greedy).
-        lp_hist=jnp.zeros((b, k, tmax), jnp.float32),
-        pos_hist=jnp.zeros((b, k, tmax), jnp.int32),
+        fin_meta=jnp.concatenate([
+            jnp.full((b, k, 1), -1.0, jnp.float32),   # eos step
+            jnp.zeros((b, k, 4), jnp.float32),
+        ], axis=2),
         cov=jnp.zeros((b, k, s if need_cov else 1), jnp.float32),
         t=jnp.zeros((), jnp.int32),
     )
@@ -189,8 +191,9 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
         # Best score any alive beam could still reach (log-probs only
         # decrease; penalty divisor is max at tmax for negative scores).
         best_alive_bound = c["alive_scores"][:, 0] / max_pen
+        finished = c["fin_meta"][..., 2] > 0.5
         worst_finished = jnp.min(
-            jnp.where(c["fin_flags"], c["fin_scores"], NEG_INF), axis=1
+            jnp.where(finished, c["fin_scores"], NEG_INF), axis=1
         )
         done = jnp.all(worst_finished >= best_alive_bound)
         return jnp.logical_and(c["t"] < tmax, ~done)
@@ -265,60 +268,60 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
         attn_bk = step_attn.reshape(b, k)
         cand_pos = jnp.take_along_axis(attn_bk, origin, axis=1)       # (B, 2K)
 
-        # ---- new alive: best K non-EOS candidates — record
-        # backpointers only (token + origin + lp + pos), no sequence
-        # gathers ----
-        alive_origin = jnp.take_along_axis(origin, alive_idx, axis=1)  # (B, K)
-        alive_tok = jnp.take_along_axis(tok, alive_idx, axis=1)        # (B, K)
-        alive_lp = jnp.take_along_axis(cand_lp, alive_idx, axis=1)
-        alive_pos = jnp.take_along_axis(cand_pos, alive_idx, axis=1)
-        new_cur = alive_tok.reshape(-1)
-        tok_hist = jax.lax.dynamic_update_slice_in_dim(
-            c["tok_hist"], alive_tok[:, :, None], t, axis=2)
-        org_hist = jax.lax.dynamic_update_slice_in_dim(
-            c["org_hist"], alive_origin[:, :, None], t, axis=2)
-        lp_hist = jax.lax.dynamic_update_slice_in_dim(
-            c["lp_hist"], alive_lp[:, :, None], t, axis=2)
-        pos_hist = jax.lax.dynamic_update_slice_in_dim(
-            c["pos_hist"], alive_pos[:, :, None], t, axis=2)
+        # ---- new alive: best K non-EOS candidates.  The four
+        # per-candidate channels are packed into ONE (B, 2K, 4) f32
+        # tensor so selection is a single gather and the history write
+        # a single dynamic-update-slice (integer channels exact in
+        # f32; 8 latency-bound ~4 us ops -> 2, round-4 beam trace).
+        cand_pack = jnp.stack([
+            tok.astype(jnp.float32), origin.astype(jnp.float32),
+            cand_lp, cand_pos.astype(jnp.float32)], axis=2)
+        alive_pack = jnp.take_along_axis(
+            cand_pack, alive_idx[:, :, None], axis=1)      # (B, K, 4)
+        alive_origin = alive_pack[..., 1].astype(jnp.int32)
+        new_cur = alive_pack[..., 0].astype(jnp.int32).reshape(-1)
+        hist = jax.lax.dynamic_update_slice(
+            c["hist"], alive_pack[:, :, None, :],
+            (0, 0, t, 0))
         new_cov = _gather_beams(cov_cand, alive_idx) if need_cov else c["cov"]
 
         # ---- reorder decoder state rows by beam origin ----
         state = reorder_decode_state_beam(state, alive_origin)
 
-        # ---- merge newly finished into the finished set (metadata
-        # only: score, EOS position, parent beam) ----
-        all_step = jnp.concatenate(
-            [c["fin_step"], jnp.full((b, 2 * k), t, jnp.int32)], axis=1)
-        all_org = jnp.concatenate([c["fin_origin"], origin], axis=1)
-        all_flags = jnp.concatenate([c["fin_flags"], is_eos], axis=1)
-        all_lp = jnp.concatenate([c["fin_lp"], cand_lp], axis=1)
-        all_pos = jnp.concatenate([c["fin_pos"], cand_pos], axis=1)
+        # ---- merge newly finished into the finished set: ONE gather
+        # over the packed (B, 3K, 5) metadata channels ----
+        cand_meta = jnp.stack([
+            jnp.full((b, 2 * k), t, jnp.float32),          # eos step
+            origin.astype(jnp.float32),                     # parent beam
+            is_eos.astype(jnp.float32),                     # finished flag
+            cand_lp,                                        # EOS log-prob
+            cand_pos.astype(jnp.float32)], axis=2)          # EOS attn pos
+        all_meta = jnp.concatenate([c["fin_meta"], cand_meta], axis=1)
         return dict(
             state=state,
             cur=new_cur,
             alive_scores=new_alive_scores,
-            tok_hist=tok_hist,
-            org_hist=org_hist,
-            lp_hist=lp_hist,
-            pos_hist=pos_hist,
+            hist=hist,
             fin_scores=new_fin_scores,
-            fin_step=jnp.take_along_axis(all_step, fin_idx, axis=1),
-            fin_origin=jnp.take_along_axis(all_org, fin_idx, axis=1),
-            fin_flags=jnp.take_along_axis(all_flags, fin_idx, axis=1),
-            fin_lp=jnp.take_along_axis(all_lp, fin_idx, axis=1),
-            fin_pos=jnp.take_along_axis(all_pos, fin_idx, axis=1),
+            fin_meta=jnp.take_along_axis(all_meta, fin_idx[:, :, None],
+                                         axis=1),
             cov=new_cov,
             t=t + 1,
         )
 
     out = jax.lax.while_loop(cond, body, init)
     t_end = out["t"]
+    meta = out["fin_meta"]
+    m_step = meta[..., 0].astype(jnp.int32)
+    m_origin = meta[..., 1].astype(jnp.int32)
+    m_flags = meta[..., 2] > 0.5
+    m_lp = meta[..., 3]
+    m_pos = meta[..., 4].astype(jnp.int32)
 
     # Rows with no finished hypothesis fall back to the best alive beams
     # (length-penalized at tmax), matching reference behavior when no
     # EOS is emitted within max_len.
-    none_finished = ~jnp.any(out["fin_flags"], axis=1)  # (B,)
+    none_finished = ~jnp.any(m_flags, axis=1)  # (B,)
     alive_pen_scores = out["alive_scores"] / max_pen
     if need_cov:
         alive_pen_scores = alive_pen_scores - coverage_penalty(
@@ -327,21 +330,20 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     beam_ids = jnp.tile(jnp.arange(k)[None, :], (b, 1))  # (B, K)
 
     # Per output slot: final-token position, path-end beam, EOS flag.
-    # Unfilled finished slots (flags False, fin_step -1) become all-PAD.
-    eos_at = jnp.where(sel, t_end, jnp.where(out["fin_flags"], out["fin_step"], -1))
-    start_beam = jnp.where(sel, beam_ids, out["fin_origin"])
-    emit_eos = jnp.where(sel, False, out["fin_flags"])
+    # Unfilled finished slots (flags False, step -1) become all-PAD.
+    eos_at = jnp.where(sel, t_end, jnp.where(m_flags, m_step, -1))
+    start_beam = jnp.where(sel, beam_ids, m_origin)
+    emit_eos = jnp.where(sel, False, m_flags)
 
     tokens, token_lps, attn_pos = _backtrack(
-        out["tok_hist"], out["org_hist"], out["lp_hist"], out["pos_hist"],
-        eos_at, start_beam, emit_eos,
-        jnp.where(sel, 0.0, out["fin_lp"]),
-        jnp.where(sel, 0, out["fin_pos"]), tmax)
+        out["hist"], eos_at, start_beam, emit_eos,
+        jnp.where(sel, 0.0, m_lp),
+        jnp.where(sel, 0, m_pos), tmax)
     fin_scores = jnp.where(sel, alive_pen_scores, out["fin_scores"])
     fin_lengths = jnp.where(
         sel, jnp.full((b, k), tmax, jnp.int32),
-        jnp.where(out["fin_flags"], out["fin_step"] + 1, 0))
-    fin_flags = jnp.where(sel, jnp.zeros((b, k), jnp.bool_), out["fin_flags"])
+        jnp.where(m_flags, m_step + 1, 0))
+    fin_flags = jnp.where(sel, jnp.zeros((b, k), jnp.bool_), m_flags)
     return BeamResult(tokens=tokens, lengths=fin_lengths, scores=fin_scores,
                       finished=fin_flags, token_log_probs=token_lps,
                       attn_pos=attn_pos)

@@ -223,11 +223,28 @@ def _attn_step(attn_params, n_heads, h, k_cache, v_cache, mask4d, valid_lens,
         v_cache = dequantize_cache_int8(
             v_cache.reshape(b, t, d), v_scale, cdt).reshape(b, t, nh, dh)
     if group > 1:
-        # XLA fallback (CPU / coverage path): tile the beam-invariant
-        # caches on the fly — correct but without the traffic win.
-        k_cache = jnp.repeat(k_cache, group, axis=0)
-        v_cache = jnp.repeat(v_cache, group, axis=0)
-        mask4d = jnp.repeat(mask4d, group, axis=0)
+        # Beam-grouped XLA attention: the K beams of a chunk share one
+        # cross cache, so the cache stays (B, T, Hk, Dh) and only the
+        # QUERY carries the beam dim.  The earlier fallback tiled the
+        # caches with jnp.repeat — at b=128 K=5 MQA that materialized a
+        # (128, 5, 256, 32) broadcast per K and V per layer EVERY step
+        # (~126 MB/step, the largest term of the round-4 beam trace).
+        r = n_heads // nh
+        q = nn.dense(attn_params["q"], h)            # (B*g, 1, D)
+        q5 = q.reshape(b, group, nh, r, dh)
+        scores = jnp.einsum("bgkrd,btkd->bgkrt", q5, k_cache,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(dh))
+        # cross_mask is per-chunk (B, 1, 1, T) -> broadcast over (g, k, r)
+        m = mask4d[:, None, :, :, :] if mask4d.ndim == 4 else mask4d
+        scores = jnp.where(m.reshape(b, 1, 1, 1, t), scores, nn.NEG_INF)
+        p = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bgkrt,btkd->bgkrd", p.astype(v_cache.dtype),
+                         v_cache)
+        out = nn.dense(attn_params["o"],
+                       ctx.reshape(b * group, 1, n_heads * dh))
+        probs = p.reshape(b * group, n_heads, 1, t)
+        return out, probs, None
     a, probs = nn.mha_step(attn_params, n_heads, h, k_cache, v_cache, mask4d)
     return a, probs, None
 
@@ -362,7 +379,11 @@ def _transformer_decoder_step_lean(lean, cfg: ModelConfig, y1, state):
         )
         if am is not None:
             amax = am
-        elif _probs is not None:  # XLA fallback: head-mean argmax
+        elif _probs is not None and i == len(lean["layers"]) - 1:
+            # Head-mean argmax from the LAST layer only (the alignment
+            # consumers read the final cross-attention) — computing it
+            # per layer cost ~2 ms/batch of (B, K, H) reduce chains in
+            # the round-4 beam trace.
             pm = jnp.mean(_probs[:, :, 0, :].astype(jnp.float32), axis=1)
             amax = jnp.argmax(pm, axis=-1).astype(jnp.int32)
         y1 = y1 + a
