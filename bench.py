@@ -144,10 +144,11 @@ def main() -> None:
                          "i.e. per-batch latency mode)")
     ap.add_argument("--batch", type=int, default=0,
                     help="chunks per device batch (default: measured v5e "
-                         "sweet spots for the k=4 MQA flagship — 512 "
-                         "greedy (24,459 ks/s; 20,304 at 256, 21,534 at "
-                         "1024), 128 beam (7,602; 5,740 at 96, ~5,800 at "
-                         "192-256); BASELINE C2's nominal shape is 32)")
+                         "sweet spots for the k=4 MQA flagship, round 4 — "
+                         "512 greedy (33,302 ks/s), 256 beam (9,576; "
+                         "9,459 at 128, 9,349 at 384, 6,387 at 512 — the "
+                         "grouped cross einsum moved round 3's ~640-row "
+                         "spill wall); BASELINE C2's nominal shape is 32)")
     ap.add_argument("--f32", action="store_true",
                     help="decode in float32 parity mode (default: bfloat16 "
                          "fast mode — measured identity delta < 1e-4, see "
@@ -251,7 +252,7 @@ def main() -> None:
         config = dataclasses.replace(
             config, decode=dataclasses.replace(config.decode, h2d_dtype=args.h2d)
         )
-    batch = args.batch or (128 if args.beam else 512)
+    batch = args.batch or (256 if args.beam else 512)
     config = dataclasses.replace(
         config, decode=dataclasses.replace(config.decode, batch_chunks=batch)
     )
