@@ -153,6 +153,10 @@ def main() -> None:
                     help="decode in float32 parity mode (default: bfloat16 "
                          "fast mode — measured identity delta < 1e-4, see "
                          "docs/PERF.md)")
+    ap.add_argument("--staged", action="store_true",
+                    help="staged decode-cache growth (quarter/half/full "
+                         "tmax stages): per-step cache reads and the beam "
+                         "reorder touch only the live prefix")
     ap.add_argument("--h2d", default="",
                     help="override signal H2D wire dtype: float32 | float16 "
                          "| int8 (default: config / auto — f16 in bf16 mode)")
@@ -251,6 +255,10 @@ def main() -> None:
     if args.h2d:
         config = dataclasses.replace(
             config, decode=dataclasses.replace(config.decode, h2d_dtype=args.h2d)
+        )
+    if args.staged:
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, staged_decode=True)
         )
     batch = args.batch or (256 if args.beam else 512)
     config = dataclasses.replace(

@@ -73,6 +73,15 @@ class ModelConfig:
     # --- common ---
     dropout: float = 0.1
     max_decode_len: int = 320           # static decode-loop bound (chunk_len/stride ~ bases+slack)
+    # Staged cache growth: run the decode as consecutive while_loops
+    # with the self-cache (and beam reorder) sized 1/4 -> 1/2 -> full
+    # max_decode_len.  Every per-step cache read/permute touches only
+    # the live prefix's bytes — the b256 beam reorder (the top loop
+    # term, AT the HBM floor for a full-cache permute) and the masked
+    # self-cache reads shrink ~2x at mean decode length ~0.6*tmax.
+    # Token-exact: stage bounds are multiples of the DMA block and the
+    # step semantics are unchanged (goldens must not move).
+    staged_decode: bool = False
     param_dtype: str = "float32"        # master params
     compute_dtype: str = "bfloat16"     # activations on TPU ("float32" = parity mode, SURVEY §7 R2)
     use_pallas: bool = False            # Pallas decode-attention kernel (TPU hot path)

@@ -127,8 +127,18 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
     # attention kernel serves all K beams from one cache read per step
     # (1/K the dominant HBM traffic).  RNN path: tile the memory
     # beam-wise as the reference does.
+    import dataclasses as _dc
+
+    from nanodecoder_tpu.decode.greedy import (decode_stage_lengths,
+                                               grow_self_cache)
+
+    staged = (cfg.staged_decode and cfg.lean_step
+              and cfg.decoder_type == "transformer")
+    stages = decode_stage_lengths(tmax) if staged else [tmax]
     if cfg.decoder_type == "transformer":
-        state0 = init_decode_state(params, cfg, memory, mem_lengths, beam_k=k)
+        state0 = init_decode_state(
+            params, _dc.replace(cfg, max_decode_len=stages[0]), memory,
+            mem_lengths, beam_k=k)
     else:
         mem_t = jnp.repeat(memory, k, axis=0)
         len_t = jnp.repeat(mem_lengths, k, axis=0)
@@ -187,25 +197,29 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
 
     max_pen = length_penalty(tmax, dcfg.length_penalty, dcfg.alpha)
 
-    def cond(c):
-        # Best score any alive beam could still reach (log-probs only
-        # decrease; penalty divisor is max at tmax for negative scores).
-        best_alive_bound = c["alive_scores"][:, 0] / max_pen
-        finished = c["fin_meta"][..., 2] > 0.5
-        worst_finished = jnp.min(
-            jnp.where(finished, c["fin_scores"], NEG_INF), axis=1
-        )
-        done = jnp.all(worst_finished >= best_alive_bound)
-        return jnp.logical_and(c["t"] < tmax, ~done)
+    def make_cond(stage_t):
+        def cond(c):
+            # Best score any alive beam could still reach (log-probs
+            # only decrease; penalty divisor is max at tmax for
+            # negative scores).
+            best_alive_bound = c["alive_scores"][:, 0] / max_pen
+            finished = c["fin_meta"][..., 2] > 0.5
+            worst_finished = jnp.min(
+                jnp.where(finished, c["fin_scores"], NEG_INF), axis=1
+            )
+            done = jnp.all(worst_finished >= best_alive_bound)
+            return jnp.logical_and(c["t"] < stage_t, ~done)
+        return cond
 
-    def body(c):
+    def make_body(scfg):
+      def body(c):
         t = c["t"]
         if need_cov:
             log_probs, step_attn, attn_probs, state = decode_step(
-                params, cfg, c["cur"], c["state"], return_attn=True
+                params, scfg, c["cur"], c["state"], return_attn=True
             )
         else:
-            log_probs, step_attn, state = decode_step(params, cfg, c["cur"], c["state"])
+            log_probs, step_attn, state = decode_step(params, scfg, c["cur"], c["state"])
             attn_probs = None
         if dcfg.min_len > 0:
             # Reference parity (translate -min_length): EOS is not a
@@ -308,8 +322,16 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
             cov=new_cov,
             t=t + 1,
         )
+      return body
 
-    out = jax.lax.while_loop(cond, body, init)
+    out = init
+    for _i, _st in enumerate(stages):
+        out = jax.lax.while_loop(
+            make_cond(_st),
+            make_body(_dc.replace(cfg, max_decode_len=_st)), out)
+        if _i + 1 < len(stages):
+            out = {**out, "state": grow_self_cache(out["state"],
+                                                   stages[_i + 1])}
     t_end = out["t"]
     meta = out["fin_meta"]
     m_step = meta[..., 0].astype(jnp.int32)

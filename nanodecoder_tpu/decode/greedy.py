@@ -21,6 +21,26 @@ from nanodecoder_tpu.models.model import decode_step, init_decode_state
 from nanodecoder_tpu.vocab import BOS_ID, EOS_ID, PAD_ID
 
 
+def decode_stage_lengths(tmax: int) -> list[int]:
+    """Stage schedule for staged cache growth: ~quarter, ~half, full —
+    each a multiple of the DMA block (8).  The decode runs as
+    consecutive while_loops whose self cache is sized to the stage, so
+    per-step cache reads (and the beam reorder permute) touch only the
+    live prefix's bytes (~2x fewer at mean decode length ~0.6*tmax)."""
+    qs = sorted({max(8, (tmax // 4) // 8 * 8),
+                 max(8, (tmax // 2) // 8 * 8), tmax})
+    return [q for q in qs if q <= tmax]
+
+
+def grow_self_cache(state, new_t: int):
+    """Pad the combined self cache's T dim with zeros up to new_t
+    (stage transition; padded rows are masked until written)."""
+    kv = state["self_kv"]
+    pad = jnp.zeros((kv.shape[0], new_t - kv.shape[1], kv.shape[2]),
+                    kv.dtype)
+    return {**state, "self_kv": jnp.concatenate([kv, pad], axis=1)}
+
+
 class GreedyResult(NamedTuple):
     tokens: jnp.ndarray      # (B, max_len) int32, PAD after EOS
     lengths: jnp.ndarray     # (B,) int32 — tokens emitted incl. EOS
@@ -39,9 +59,16 @@ def greedy_decode(params, cfg: ModelConfig, memory, mem_lengths,
     masks EOS before that many tokens (reference: translate
     -min_length on GreedySearch).
     """
+    import dataclasses as _dc
+
     b = memory.shape[0]
     tmax = cfg.max_decode_len
-    state0 = init_decode_state(params, cfg, memory, mem_lengths)
+    staged = (cfg.staged_decode and cfg.lean_step
+              and cfg.decoder_type == "transformer")
+    stages = decode_stage_lengths(tmax) if staged else [tmax]
+    state0 = init_decode_state(
+        params, _dc.replace(cfg, max_decode_len=stages[0]), memory,
+        mem_lengths)
     # Lean path: fold LN affines/biases into the matmuls ONCE, outside
     # the loop; the body closes over the folded weights.
     from nanodecoder_tpu.models.decoder import prepare_decode_params
@@ -59,34 +86,45 @@ def greedy_decode(params, cfg: ModelConfig, memory, mem_lengths,
         t=jnp.zeros((), jnp.int32),
     )
 
-    def cond(c):
-        return jnp.logical_and(c["t"] < tmax, ~jnp.all(c["finished"]))
+    def make_cond(stage_t):
+        def cond(c):
+            return jnp.logical_and(c["t"] < stage_t, ~jnp.all(c["finished"]))
+        return cond
 
-    def body(c):
-        log_probs, attn_pos, state = decode_step(params, cfg, c["cur"], c["state"])
-        if min_len > 0:
-            log_probs = jnp.where(
-                (c["t"] < min_len)
-                & (jnp.arange(log_probs.shape[-1])[None, :] == EOS_ID),
-                -1e9, log_probs,
+    def make_body(scfg):
+        def body(c):
+            log_probs, attn_pos, state = decode_step(params, scfg, c["cur"],
+                                                     c["state"])
+            if min_len > 0:
+                log_probs = jnp.where(
+                    (c["t"] < min_len)
+                    & (jnp.arange(log_probs.shape[-1])[None, :] == EOS_ID),
+                    -1e9, log_probs,
+                )
+            nxt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+            lp = jnp.take_along_axis(log_probs, nxt[:, None], axis=-1)[:, 0]
+            # Finished rows keep emitting PAD with zero score.
+            nxt = jnp.where(c["finished"], PAD_ID, nxt)
+            lp = jnp.where(c["finished"], 0.0, lp)
+            t = c["t"]
+            tokens = jax.lax.dynamic_update_slice_in_dim(c["tokens"], nxt[:, None], t, axis=1)
+            lps = jax.lax.dynamic_update_slice_in_dim(c["lps"], lp[:, None], t, axis=1)
+            pos = jax.lax.dynamic_update_slice_in_dim(c["pos"], attn_pos[:, None], t, axis=1)
+            now_finished = jnp.logical_or(c["finished"], nxt == EOS_ID)
+            lengths = jnp.where(c["finished"], c["lengths"], t + 1)
+            return dict(
+                state=state, cur=nxt, tokens=tokens, lps=lps, pos=pos,
+                finished=now_finished, lengths=lengths, t=t + 1,
             )
-        nxt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
-        lp = jnp.take_along_axis(log_probs, nxt[:, None], axis=-1)[:, 0]
-        # Finished rows keep emitting PAD with zero score.
-        nxt = jnp.where(c["finished"], PAD_ID, nxt)
-        lp = jnp.where(c["finished"], 0.0, lp)
-        t = c["t"]
-        tokens = jax.lax.dynamic_update_slice_in_dim(c["tokens"], nxt[:, None], t, axis=1)
-        lps = jax.lax.dynamic_update_slice_in_dim(c["lps"], lp[:, None], t, axis=1)
-        pos = jax.lax.dynamic_update_slice_in_dim(c["pos"], attn_pos[:, None], t, axis=1)
-        now_finished = jnp.logical_or(c["finished"], nxt == EOS_ID)
-        lengths = jnp.where(c["finished"], c["lengths"], t + 1)
-        return dict(
-            state=state, cur=nxt, tokens=tokens, lps=lps, pos=pos,
-            finished=now_finished, lengths=lengths, t=t + 1,
-        )
+        return body
 
-    out = jax.lax.while_loop(cond, body, init)
+    out = init
+    for i, st in enumerate(stages):
+        scfg = _dc.replace(cfg, max_decode_len=st)
+        out = jax.lax.while_loop(make_cond(st), make_body(scfg), out)
+        if i + 1 < len(stages):
+            out = {**out, "state": grow_self_cache(out["state"],
+                                                   stages[i + 1])}
     # Rows that never emitted EOS have length tmax.
     lengths = jnp.where(out["finished"], out["lengths"], tmax)
     return GreedyResult(

@@ -360,3 +360,67 @@ def test_translator_sample_mode(setup):
     tr2 = Translator(params, config)
     tokens2, *_ = tr2.decode_chunk_batch(chunks, lens)
     np.testing.assert_array_equal(tokens, tokens2)
+
+
+class TestStagedDecode:
+    """Staged cache growth (config.staged_decode) must be token-exact
+    vs the single-stage loop — stages only resize buffers, never change
+    step semantics."""
+
+    def _setup(self, rng_np):
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from nanodecoder_tpu.config import tiny_test_config
+        from nanodecoder_tpu.models.model import encode, init_model
+
+        cfg = tiny_test_config()
+        m = dc.replace(cfg.model, lean_step=True, max_decode_len=48)
+        params = init_model(jax.random.PRNGKey(0), m)
+        sig = jnp.asarray(rng_np.normal(size=(3, 256)).astype(np.float32))
+        lens = jnp.asarray([256, 200, 128], jnp.int32)
+        memory, mem_len = encode(params, m, sig, lens)
+        return cfg, m, params, memory, mem_len
+
+    def test_stage_schedule(self):
+        from nanodecoder_tpu.decode.greedy import decode_stage_lengths
+
+        assert decode_stage_lengths(96) == [24, 48, 96]
+        assert decode_stage_lengths(48) == [8, 24, 48]
+        assert decode_stage_lengths(8) == [8]
+        for t in (16, 64, 96, 320):
+            assert all(x % 8 == 0 for x in decode_stage_lengths(t))
+            assert decode_stage_lengths(t)[-1] == t
+
+    def test_greedy_staged_exact(self, rng_np):
+        import dataclasses as dc
+
+        from nanodecoder_tpu.decode.greedy import greedy_decode
+
+        _, m, params, memory, mem_len = self._setup(rng_np)
+        base = greedy_decode(params, m, memory, mem_len)
+        st = greedy_decode(params, dc.replace(m, staged_decode=True),
+                           memory, mem_len)
+        np.testing.assert_array_equal(np.asarray(base.tokens),
+                                      np.asarray(st.tokens))
+        np.testing.assert_allclose(np.asarray(base.token_log_probs),
+                                   np.asarray(st.token_log_probs), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(base.attn_pos),
+                                      np.asarray(st.attn_pos))
+
+    def test_beam_staged_exact(self, rng_np):
+        import dataclasses as dc
+
+        from nanodecoder_tpu.decode.beam import beam_decode
+
+        cfg, m, params, memory, mem_len = self._setup(rng_np)
+        d = dc.replace(cfg.decode, beam_size=3)
+        base = beam_decode(params, m, d, memory, mem_len)
+        st = beam_decode(params, dc.replace(m, staged_decode=True), d,
+                         memory, mem_len)
+        np.testing.assert_array_equal(np.asarray(base.tokens),
+                                      np.asarray(st.tokens))
+        np.testing.assert_allclose(np.asarray(base.scores),
+                                   np.asarray(st.scores), atol=1e-6)
