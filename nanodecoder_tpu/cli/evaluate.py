@@ -65,6 +65,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=None,
                     help="fused Pallas decode kernels (default: on when "
                          "running on TPU)")
+    ap.add_argument("--staged", action="store_true",
+                    help="staged decode-cache growth (token-exact vs the "
+                         "single-stage loop; flag exists for on-hardware "
+                         "verification of that claim)")
     ap.add_argument("--h2d", default="",
                     help="signal H2D wire dtype override: float32 | float16 "
                          "| int8 (measures the engine's wire numerics)")
@@ -135,6 +139,11 @@ def main(argv=None) -> int:
             config = dataclasses.replace(
                 config, decode=dataclasses.replace(config.decode,
                                                    h2d_dtype=args.h2d)
+            )
+        if args.staged:
+            config = dataclasses.replace(
+                config, model=dataclasses.replace(config.model,
+                                                  staged_decode=True)
             )
         tr = Translator(params, config)
         spec = SimSpec()
