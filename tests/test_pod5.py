@@ -142,3 +142,47 @@ class TestLoudFailure:
             f.write(head + tail)
         with pytest.raises(ValueError, match="footer entry"):
             p5.read_pod5(path)
+
+
+class TestSvb16Properties:
+    """Property-style coverage of the svb16 codec across the value
+    distributions a real flowcell produces (no official test vectors
+    ship offline — the loud length check in svb16_decode guards the
+    cross-producer case; these pin OUR codec's internal consistency)."""
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_random_roundtrip_all_flag_combos(self, seed):
+        from nanodecoder_tpu.io.pod5 import svb16_decode, svb16_encode
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 5000))
+        # mix of small deltas (1-byte path) and jumps (2-byte path)
+        sig = np.cumsum(rng.integers(-300, 300, n)).astype(np.int16)
+        for delta in (True, False):
+            for zigzag in (True, False):
+                enc = svb16_encode(sig, delta=delta, zigzag=zigzag)
+                dec = svb16_decode(enc, n, delta=delta, zigzag=zigzag)
+                np.testing.assert_array_equal(dec, sig)
+
+    def test_extremes_and_empty(self):
+        from nanodecoder_tpu.io.pod5 import svb16_decode, svb16_encode
+
+        for sig in (np.asarray([], np.int16),
+                    np.asarray([0], np.int16),
+                    np.asarray([-32768, 32767, -32768, 32767], np.int16),
+                    np.zeros(1000, np.int16),
+                    np.full(9, -32768, np.int16)):
+            enc = svb16_encode(sig)
+            np.testing.assert_array_equal(svb16_decode(enc, len(sig)), sig)
+
+    def test_keys_block_bit_order_pinned(self):
+        """LSB-first control bits (spec): value 0 -> 1 byte (bit 0),
+        value 256 -> 2 bytes (bit 1).  With zigzag+delta off and inputs
+        [0, 256], the key byte must be 0b10."""
+        from nanodecoder_tpu.io.pod5 import svb16_encode
+
+        enc = svb16_encode(np.asarray([0, 256], np.int16),
+                           delta=False, zigzag=False)
+        assert enc[0] == 0b10
+        # data block: 1 byte for 0, little-endian 2 bytes for 256
+        assert enc[1:] == b"\x00\x00\x01"
