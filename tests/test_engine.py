@@ -95,6 +95,10 @@ class TestAsyncPipeline:
             caller.run([str(tmp_path / "a.fast5")], BoomWriter())
 
 
+def _boom_finish_task(*args, **kwargs):
+    raise RuntimeError("boom")
+
+
 class TestStreamingEngine:
     @pytest.fixture(scope="class")
     def engine(self, tiny_params, tiny_config):
@@ -129,6 +133,23 @@ class TestStreamingEngine:
         StreamingBasecaller(tiny_params, tiny_config, attn_pos=False).run(
             [str(tmp_path / "np.fast5")], out_b)
         assert out_a.getvalue() == out_b.getvalue()
+
+    def test_stitch_worker_error_propagates(self, tiny_params, tiny_config,
+                                            tmp_path, rng_np):
+        """A failure inside the offloaded per-read finish task must
+        surface to the caller (collector relays it), not hang or drop
+        reads silently.  The patch target must be a real module-level
+        function (pickled by reference into the worker process)."""
+        from unittest import mock
+
+        from nanodecoder_tpu.decode import engine as eng
+
+        reads = {f"r{i}": rng_np.normal(0, 300, size=500) for i in range(2)}
+        _write_multi_fast5(str(tmp_path / "err.fast5"), reads)
+        caller = eng.StreamingBasecaller(tiny_params, tiny_config)
+        with mock.patch.object(eng, "_finish_read_task", _boom_finish_task):
+            with pytest.raises(RuntimeError, match="boom"):
+                caller.run([str(tmp_path / "err.fast5")], io.StringIO())
 
     def test_int8_h2d_mode_runs(self, tiny_params, tiny_config, tmp_path,
                                 rng_np):
