@@ -158,6 +158,7 @@ def main() -> None:
                          "tmax stages): per-step cache reads and the beam "
                          "reorder touch only the live prefix")
     ap.add_argument("--h2d", default="",
+                    choices=["", "float32", "float16", "int8", "int4"],
                     help="override signal H2D wire dtype: float32 | float16 "
                          "| int8 (default: config / auto — f16 in bf16 mode)")
     ap.add_argument("--int8-cross", action="store_true",
@@ -261,8 +262,12 @@ def main() -> None:
             config, model=dataclasses.replace(config.model, staged_decode=True)
         )
     batch = args.batch or (256 if args.beam else 512)
+    # Set BOTH batch fields (as cli/basecall.py does): engine mode
+    # resolves via effective_batch_chunks(), which would otherwise
+    # prefer a config-carried batch_chunks_beam over --batch.
     config = dataclasses.replace(
-        config, decode=dataclasses.replace(config.decode, batch_chunks=batch)
+        config, decode=dataclasses.replace(config.decode, batch_chunks=batch,
+                                           batch_chunks_beam=batch)
     )
     n_params = param_count(params)
 

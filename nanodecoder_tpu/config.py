@@ -170,7 +170,16 @@ class DecodeConfig:
     h2d_dtype: str = "auto"       # "auto" | "float32" | "float16" | "int8"
 
     def resolve_h2d(self, compute_dtype: str) -> str:
-        """Concrete H2D dtype name for the active compute dtype."""
+        """Concrete H2D dtype name for the active compute dtype.
+
+        Raises on unsupported names: convert_h2d only special-cases the
+        names below, so e.g. 'int16' would silently astype z-scores to
+        integers in {-5..5} and basecall garbage with no error."""
+        valid = ("auto", "float32", "float16", "int8", "int4")
+        if self.h2d_dtype not in valid:
+            raise ValueError(
+                f"h2d_dtype={self.h2d_dtype!r} unsupported; choose one of "
+                f"{valid}")
         if self.h2d_dtype != "auto":
             return self.h2d_dtype
         return "float16" if compute_dtype == "bfloat16" else "float32"

@@ -241,9 +241,17 @@ class StreamingBasecaller:
             parts = per_read.pop(ridx)
             cb = rc.chunks
             parts_list = [parts[ci] for ci in range(cb.n_chunks)]
+            # Ship only the stitch metadata across the process pipe:
+            # cb.chunks still holds the read's full converted signal
+            # (~100+ KB/read), which the worker never reads — mirror the
+            # _EMPTY_SIGNAL trick io/pipeline uses for RawRead.
+            import dataclasses as _dc
+
+            cb_meta = _dc.replace(
+                cb, chunks=np.zeros((cb.n_chunks, 0), np.float32))
             stitch_futs.append((
                 stitch_pool.submit(_finish_read_task, rc.read.read_id,
-                                   parts_list, cb, stitch_method,
+                                   parts_list, cb_meta, stitch_method,
                                    cfg.model.kmer_k, write_format),
                 rc.read.read_id, cb.total_samples, cb.n_chunks,
             ))
@@ -300,7 +308,13 @@ class StreamingBasecaller:
                 drain_finished()
                 # One durability point per batch, not per read (a flush
                 # is a syscall; resume re-basecalls at most one batch).
+                # The OUTPUT flushes first so it is always at least as
+                # durable as the done log: a crash between the two can
+                # only re-basecall reads, never silently drop records
+                # the done log (or the resume output-scan) already
+                # claims as complete.
                 if done_log is not None:
+                    out.flush()
                     done_log.flush()
 
         def collector() -> None:
@@ -312,6 +326,9 @@ class StreamingBasecaller:
                         try:
                             with timer.stage("stitch+write"):
                                 drain_finished(block=True)
+                                if done_log is not None:
+                                    out.flush()
+                                    done_log.flush()
                         except BaseException as e:  # noqa: BLE001
                             collector_exc.append(e)
                     return
