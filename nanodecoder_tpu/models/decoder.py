@@ -324,6 +324,8 @@ def prepare_decode_params(params, cfg: ModelConfig, dtype):
     closes over the result."""
     if cfg.decoder_type != "transformer" or not cfg.lean_step:
         return params
+    if "_lean" in params:  # already folded once per run (serving params)
+        return params
     return {**params,
             "_lean": fold_lean_params(params["decoder"], params["generator"],
                                       cfg, dtype)}

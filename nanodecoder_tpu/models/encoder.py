@@ -136,6 +136,99 @@ def transformer_encoder(p, cfg: ModelConfig, x, enc_lengths, rng=None, train=Fal
 
 
 # ---------------------------------------------------------------------------
+# lean serving encoder: LN affines folded into the adjacent matmuls,
+# fused QKV, every weight pre-cast to the compute dtype ONCE per run.
+#
+# Device-trace evidence (bench_results/trace_greedy_b512_r04_final.txt;
+# VERDICT r4 weak #4): with f32 master params as jit arguments, every
+# program execution re-staged six f32[256,256] weight tensors (plus
+# biases) through async copies and re-ran the f32->bf16 converts inside
+# the LN/FFN convert_reduce fusions — the largest post-loop trace terms.
+# Folding host-side (prepare_serving_params) makes the program's weight
+# operands bf16-resident; the f32 masters never cross into the program.
+# Same fold identity as the decoder lean path (models/decoder.py):
+#   layer_norm(x) @ W + b == normalize(x) @ (g ⊙_rows W) + (b_ln @ W + b)
+
+
+def fold_encoder_lean(p_enc, cfg: ModelConfig, dtype):
+    """Encoder params -> pre-folded, pre-cast serving weights.
+    Transformer body only (the biLSTM path keeps the standard apply)."""
+    from nanodecoder_tpu.models.decoder import _fold_ln_dense
+
+    fe = p_enc["frontend"]
+    frontend = {
+        "convs": [{"w": l["w"].astype(dtype), "b": l["b"].astype(dtype)}
+                  for l in fe["convs"]],
+        "proj": {"w": fe["proj"]["w"].astype(dtype),
+                 "b": fe["proj"]["b"].astype(dtype)},
+        # Frontend LN affine cannot fold forward: the positional
+        # encoding is added between it and layer 1's ln1.
+        "ln": fe["ln"],
+    }
+    layers = []
+    for layer in p_enc["body"]["layers"]:
+        ap, ff = layer["attn"], layer["ffn"]
+        wq, bq = _fold_ln_dense(layer["ln1"], ap["q"], dtype)
+        wk, bk = _fold_ln_dense(layer["ln1"], ap["k"], dtype)
+        wv, bv = _fold_ln_dense(layer["ln1"], ap["v"], dtype)
+        wf1, bf1 = _fold_ln_dense(layer["ln2"], ff["in"], dtype)
+        layers.append({
+            "w_qkv": jnp.concatenate([wq, wk, wv], axis=1),
+            "b_qkv": jnp.concatenate([bq, bk, bv]),
+            "o": {"w": ap["o"]["w"].astype(dtype),
+                  "b": ap["o"]["b"].astype(dtype)},
+            "w_f1": wf1, "b_f1": bf1,
+            "w_f2": ff["out"]["w"].astype(dtype),
+            "b_f2": ff["out"]["b"].astype(dtype),
+        })
+    return {"frontend": frontend, "layers": layers,
+            "ln_out": p_enc["body"]["ln_out"]}
+
+
+def transformer_encoder_lean(lean, cfg: ModelConfig, x, enc_lengths):
+    """Serving-only pre-norm transformer over folded weights.
+    x: (B, T, D) compute-dtype; returns memory bank (B, T, D)."""
+    from nanodecoder_tpu.models.decoder import _ln_normalize
+
+    t = x.shape[1]
+    d = cfg.d_model
+    valid = nn.length_mask(enc_lengths, t)
+    attn_mask = valid[:, None, None, :]
+    use_pallas = cfg.use_pallas
+    for layer in lean["layers"]:
+        h = _ln_normalize(x)
+        qkv = h @ layer["w_qkv"] + layer["b_qkv"]   # (B, T, 3D) one matmul
+        if use_pallas:
+            from nanodecoder_tpu.ops.encoder_attention import (
+                flash_encoder_attention_qkv)
+
+            ctx = flash_encoder_attention_qkv(
+                qkv, enc_lengths, cfg.enc_heads,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            q = nn._split_heads(qkv[..., :d], cfg.enc_heads)
+            k = nn._split_heads(qkv[..., d:2 * d], cfg.enc_heads)
+            v = nn._split_heads(qkv[..., 2 * d:], cfg.enc_heads)
+            ctx, _ = nn.attention_core(q, k, v, attn_mask)
+            ctx = nn._merge_heads(ctx)
+        x = x + nn.dense(layer["o"], ctx)
+        h = _ln_normalize(x)
+        x = x + jax.nn.relu(h @ layer["w_f1"] + layer["b_f1"]) @ layer["w_f2"] \
+            + layer["b_f2"]
+    x = nn.layer_norm(lean["ln_out"], x)
+    return x * valid[:, :, None].astype(x.dtype)
+
+
+def encoder_apply_lean(lean, cfg: ModelConfig, signal, lengths):
+    """Folded-weights serving encoder: conv front-end + lean body."""
+    x, enc_lengths = conv_frontend(lean["frontend"], cfg, signal, lengths)
+    pe = nn.sinusoidal_positions(x.shape[1], cfg.d_model).astype(x.dtype)
+    x = x + pe[None, :, :]
+    mem = transformer_encoder_lean(lean, cfg, x, enc_lengths)
+    return mem, enc_lengths
+
+
+# ---------------------------------------------------------------------------
 # biLSTM encoder body (reference-parity path)
 
 

@@ -151,6 +151,75 @@ def flash_encoder_attention_nld(q, k, v, lengths, heads: int,
     )(lengths.astype(jnp.int32), q, k, v)
 
 
+def _enc_attn_kernel_qkv(len_ref, qkv_ref, o_ref, *, scale, heads, dh, rows):
+    """Fused-QKV natural-layout variant: the operand arrives (rows, S,
+    3D) — the lean encoder's single QKV projection output — and Q/K/V
+    are LANE slices taken in-kernel.  Splitting host-side would cost
+    three (B, S, D) slice copies per layer (~0.4 ms of HBM round trips
+    per layer at b=512); here the slab is loaded once and sliced in
+    registers, exactly like the per-head slices of the nld kernel."""
+    # Two VPU-pass "optimizations" were tried here and measured SLOWER
+    # on v5e (docs/PERF.md round 5): folding the attention scale into
+    # the exp's subtract (5.27 -> 5.58 ms/layer-instr) and applying the
+    # 1/sum softmax normalization to the (S, Dh) context after the PV
+    # matmul instead of dividing the (S, S) probs (5.62) — the (S, 1)
+    # lane-broadcast costs more than the full-width pass it saves.
+    # Mosaic fuses the straightforward formulation best; keep it.
+    g = pl.program_id(0)
+    d = heads * dh
+    for r in range(rows):
+        n = len_ref[g * rows + r]
+        slab = qkv_ref[r]                                   # (S, 3D)
+        s = slab.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        live = col < n
+        outs = []
+        for hi in range(heads):
+            q = jax.lax.slice_in_dim(slab, hi * dh, (hi + 1) * dh, axis=1)
+            k = jax.lax.slice_in_dim(slab, d + hi * dh, d + (hi + 1) * dh,
+                                     axis=1)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (S, S) f32
+            logits = jnp.where(live, logits, NEG_INF)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                p.astype(slab.dtype),
+                jax.lax.slice_in_dim(slab, 2 * d + hi * dh,
+                                     2 * d + (hi + 1) * dh, axis=1),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype))
+        o_ref[r] = jnp.concatenate(outs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret", "rows"))
+def flash_encoder_attention_qkv(qkv, lengths, heads: int,
+                                interpret: bool = False, rows: int = 1):
+    """qkv: (B, S, 3D) fused projection output, D = heads*Dh.
+    Returns (B, S, D) — same masked-softmax math as
+    flash_encoder_attention_nld with the Q/K/V split done in-kernel."""
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // heads
+    scale = 1.0 / (dh ** 0.5)
+    rows = next(r for r in (rows, 4, 2, 1) if b % r == 0)
+    in_spec = pl.BlockSpec((rows, s, d3), lambda bi: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((rows, s, d), lambda bi: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_enc_attn_kernel_qkv, scale=scale, heads=heads,
+                          dh=dh, rows=rows),
+        grid=(b // rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), qkv)
+
+
 def encoder_attention_reference(q, k, v, lengths):
     """jnp reference with identical masking semantics (test oracle)."""
     from nanodecoder_tpu.models import modules as nn

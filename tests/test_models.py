@@ -118,3 +118,41 @@ def test_grad_flows(rng_np):
     flat = jax.tree_util.tree_leaves_with_path(grads)
     nonzero = sum(bool(jnp.any(g != 0)) for _, g in flat)
     assert nonzero / len(flat) > 0.9  # essentially all params get gradient
+
+
+def test_lean_encoder_matches_standard(rng_np):
+    """Folded serving encoder (LN affines in the matmuls, fused QKV,
+    pre-cast weights) == standard encoder in f32 eval mode."""
+    from nanodecoder_tpu.models.encoder import (encoder_apply,
+                                                encoder_apply_lean,
+                                                fold_encoder_lean)
+
+    cfg = _cfg()
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    signal = jnp.asarray(rng_np.normal(size=(3, 256)), jnp.float32)
+    lengths = jnp.asarray([256, 200, 97], jnp.int32)
+    mem, ml = encoder_apply(params["encoder"], cfg, signal, lengths)
+    lean = fold_encoder_lean(params["encoder"], cfg, jnp.float32)
+    mem2, ml2 = encoder_apply_lean(lean, cfg, signal, lengths)
+    np.testing.assert_array_equal(np.asarray(ml), np.asarray(ml2))
+    np.testing.assert_allclose(np.asarray(mem), np.asarray(mem2),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_prepare_serving_params_end_to_end(rng_np):
+    """decode via prepare_serving_params == decode via raw params (f32):
+    the one-time serving fold must not change tokens."""
+    from nanodecoder_tpu.decode.greedy import greedy_decode
+    from nanodecoder_tpu.models.model import prepare_serving_params
+
+    cfg = _cfg()
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    signal = jnp.asarray(rng_np.normal(size=(2, 256)), jnp.float32)
+    lengths = jnp.asarray([256, 180], jnp.int32)
+    mem, ml = encode(params, cfg, signal, lengths)
+    r1 = greedy_decode(params, cfg, mem, ml)
+    sp = prepare_serving_params(params, cfg)
+    mem2, ml2 = encode(sp, cfg, signal, lengths)
+    r2 = greedy_decode(sp, cfg, mem2, ml2)
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+    np.testing.assert_array_equal(np.asarray(r1.lengths), np.asarray(r2.lengths))

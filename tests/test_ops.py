@@ -383,6 +383,33 @@ class TestEncoderAttention:
                                    np.asarray(ref, np.float32),
                                    atol=atol, rtol=1e-2)
 
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_qkv_kernel_matches_reference(self, rng_np, dtype):
+        """Fused-QKV (B, S, 3D) kernel == 4-D reference — the lean
+        serving encoder's hot path (the QKV slab is the projection
+        matmul's natural output; Q/K/V and heads are lane slices taken
+        in-kernel)."""
+        import jax.numpy as jnp
+
+        from nanodecoder_tpu.ops.encoder_attention import (
+            encoder_attention_reference, flash_encoder_attention_qkv)
+
+        b, s, h, dh = 3, 64, 4, 16
+        dt = jnp.float32 if dtype == "float32" else jnp.bfloat16
+        q = jnp.asarray(rng_np.normal(size=(b, s, h, dh)), dt)
+        k = jnp.asarray(rng_np.normal(size=(b, s, h, dh)), dt)
+        v = jnp.asarray(rng_np.normal(size=(b, s, h, dh)), dt)
+        lens = jnp.asarray([s, s // 2, 5], jnp.int32)
+        ref = encoder_attention_reference(q, k, v, lens).reshape(b, s, h * dh)
+        qkv = jnp.concatenate([q.reshape(b, s, h * dh),
+                               k.reshape(b, s, h * dh),
+                               v.reshape(b, s, h * dh)], axis=-1)
+        got = flash_encoder_attention_qkv(qkv, lens, h, interpret=True)
+        atol = 2e-5 if dtype == "float32" else 5e-2
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=atol, rtol=1e-2)
+
     def test_full_encoder_parity(self, rng_np):
         """Pallas-encoder output == XLA-encoder output (f32, eval)."""
         import dataclasses as dc
