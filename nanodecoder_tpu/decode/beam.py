@@ -151,6 +151,16 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
 
     params = prepare_decode_params(params, cfg, memory.dtype)
 
+    # Path-indirection reorder (DecodeConfig.path_reorder): the self
+    # cache stays in write-time frame and the per-step physical permute
+    # (2x the cache's bytes, measured AT the HBM floor in round 4) is
+    # replaced by composing the (B, K, T) ancestry map — the lean step
+    # gathers its masked self-attention read through it.
+    use_path = (dcfg.path_reorder and cfg.lean_step
+                and cfg.decoder_type == "transformer")
+    if use_path:
+        state0["self_path"] = jnp.zeros((b, k, stages[0]), jnp.int32)
+
     # Coverage penalty needs per-hypothesis accumulated cross-attention
     # mass; the Pallas attention kernel never materializes the
     # probabilities, so coverage mode runs the XLA attention path and
@@ -300,7 +310,17 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
         new_cov = _gather_beams(cov_cand, alive_idx) if need_cov else c["cov"]
 
         # ---- reorder decoder state rows by beam origin ----
-        state = reorder_decode_state_beam(state, alive_origin)
+        if use_path:
+            # Compose ancestry instead of permuting the cache: new beam
+            # j inherits parent o(j)'s path for steps < t and records
+            # slot o(j) as the writer of its step-t row.
+            path = jnp.take_along_axis(
+                state["self_path"], alive_origin[:, :, None], axis=1)
+            path = jax.lax.dynamic_update_slice(
+                path, alive_origin[:, :, None], (0, 0, t))
+            state = {**state, "self_path": path}
+        else:
+            state = reorder_decode_state_beam(state, alive_origin)
 
         # ---- merge newly finished into the finished set: ONE gather
         # over the packed (B, 3K, 5) metadata channels ----

@@ -117,16 +117,16 @@ class StreamingBasecaller:
             return outs
 
         # H2D wire dtype (io/pipeline converts; config.DecodeConfig
-        # h2d_dtype): int8 mode dequantizes on device with the fixed
-        # clip_sigma/127 scale.
-        from nanodecoder_tpu.io.signal import h2d_int8_scale
+        # h2d_dtype): dequantized on device by io.signal.wire_to_f32
+        # (int8 fixed-scale; int4 per-chunk-scale sub-byte packing).
+        from nanodecoder_tpu.io.signal import wire_to_f32
 
         h2d_name = dcfg.resolve_h2d(mcfg.compute_dtype)
-        h2d_scale = (h2d_int8_scale(config.signal.clip_sigma)
-                     if h2d_name == "int8" else 1.0)
+        clip_sigma = config.signal.clip_sigma
+        chunk_len = config.signal.chunk_len
 
         def greedy_program(params, signal, lengths):
-            signal = signal.astype(jnp.float32) * h2d_scale
+            signal = wire_to_f32(signal, h2d_name, clip_sigma, chunk_len)
             memory, mem_len = encode(params, mcfg, signal, lengths)
             r = greedy_decode(params, mcfg, memory, mem_len, min_len=dcfg.min_len)
             ds = mcfg.time_downsample
@@ -134,7 +134,7 @@ class StreamingBasecaller:
                             r.attn_pos * ds + ds // 2)
 
         def beam_program(params, signal, lengths):
-            signal = signal.astype(jnp.float32) * h2d_scale
+            signal = wire_to_f32(signal, h2d_name, clip_sigma, chunk_len)
             memory, mem_len = encode(params, mcfg, signal, lengths)
             r = beam_decode(params, mcfg, dcfg, memory, mem_len)
             # Exact per-token lps + attn positions of the best hypothesis
@@ -148,7 +148,7 @@ class StreamingBasecaller:
         def sample_program(params, signal, lengths, key):
             from nanodecoder_tpu.decode.sampling import sample_decode
 
-            signal = signal.astype(jnp.float32) * h2d_scale
+            signal = wire_to_f32(signal, h2d_name, clip_sigma, chunk_len)
             memory, mem_len = encode(params, mcfg, signal, lengths)
             r = sample_decode(params, mcfg, dcfg, memory, mem_len, key)
             ds = mcfg.time_downsample
@@ -218,7 +218,7 @@ class StreamingBasecaller:
         # H2D wire dtype: auto = f16 in bf16 fast mode (finer than the
         # bf16 compute quantization), f32 in parity mode; int8 opt-in
         # halves the relay-bound transfer again (config.DecodeConfig).
-        h2d = np.dtype(cfg.decode.resolve_h2d(cfg.model.compute_dtype))
+        h2d = cfg.decode.resolve_h2d(cfg.model.compute_dtype)
         pipe = AsyncChunkPipeline(
             files, cfg.signal, cfg.decode.effective_batch_chunks(),
             num_workers=num_workers,

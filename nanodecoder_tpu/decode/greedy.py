@@ -34,11 +34,18 @@ def decode_stage_lengths(tmax: int) -> list[int]:
 
 def grow_self_cache(state, new_t: int):
     """Pad the combined self cache's T dim with zeros up to new_t
-    (stage transition; padded rows are masked until written)."""
+    (stage transition; padded rows are masked until written).  The beam
+    ancestry map (path_reorder mode) grows alongside it."""
     kv = state["self_kv"]
     pad = jnp.zeros((kv.shape[0], new_t - kv.shape[1], kv.shape[2]),
                     kv.dtype)
-    return {**state, "self_kv": jnp.concatenate([kv, pad], axis=1)}
+    out = {**state, "self_kv": jnp.concatenate([kv, pad], axis=1)}
+    if "self_path" in state:
+        p = state["self_path"]
+        ppad = jnp.zeros((p.shape[0], p.shape[1], new_t - p.shape[2]),
+                         p.dtype)
+        out["self_path"] = jnp.concatenate([p, ppad], axis=2)
+    return out
 
 
 class GreedyResult(NamedTuple):

@@ -28,7 +28,8 @@ from nanodecoder_tpu.decode.beam import beam_decode
 from nanodecoder_tpu.decode.greedy import greedy_decode
 from nanodecoder_tpu.decode.sampling import sample_decode
 from nanodecoder_tpu.io.fast5 import RawRead
-from nanodecoder_tpu.io.signal import chunk_signal, normalize_signal
+from nanodecoder_tpu.io.signal import (chunk_signal, normalize_signal,
+                                       wire_to_f32)
 from nanodecoder_tpu.io.stitch import stitch_chunks
 from nanodecoder_tpu.models.model import encode
 from nanodecoder_tpu.vocab import make_vocab
@@ -85,13 +86,10 @@ class Translator:
         self.vocab = make_vocab(config.model.kmer_k)
         # H2D wire dtype (config.DecodeConfig.h2d_dtype): chunks are
         # converted host-side in decode_chunk_batch and dequantized at
-        # the top of each program — the evaluate CLI therefore measures
-        # the SAME numerics the streaming engine serves.
-        from nanodecoder_tpu.io.signal import h2d_int8_scale
-
-        self._h2d = np.dtype(config.decode.resolve_h2d(config.model.compute_dtype))
-        self._h2d_scale = (h2d_int8_scale(config.signal.clip_sigma)
-                           if self._h2d == np.int8 else 1.0)
+        # the top of each program (io.signal.wire_to_f32) — the
+        # evaluate CLI therefore measures the SAME numerics the
+        # streaming engine serves.  "int4" packs sub-byte (uint8 wire).
+        self._h2d = config.decode.resolve_h2d(config.model.compute_dtype)
         mode = config.decode.mode
         if mode == "greedy":
             self._decode_p = jax.jit(self._greedy_program)
@@ -119,7 +117,9 @@ class Translator:
 
     def _greedy_program(self, params, signal, lengths):
         cfg = self.config.model
-        signal = signal.astype(jnp.float32) * self._h2d_scale
+        signal = wire_to_f32(signal, self._h2d,
+                             self.config.signal.clip_sigma,
+                             self.config.signal.chunk_len)
         memory, mem_lengths = encode(params, cfg, signal, lengths)
         res = greedy_decode(params, cfg, memory, mem_lengths,
                             min_len=self.config.decode.min_len)
@@ -130,7 +130,9 @@ class Translator:
 
     def _sample_program(self, params, signal, lengths, key):
         cfg = self.config.model
-        signal = signal.astype(jnp.float32) * self._h2d_scale
+        signal = wire_to_f32(signal, self._h2d,
+                             self.config.signal.clip_sigma,
+                             self.config.signal.chunk_len)
         memory, mem_lengths = encode(params, cfg, signal, lengths)
         res = sample_decode(params, cfg, self.config.decode, memory,
                             mem_lengths, key)
@@ -141,6 +143,14 @@ class Translator:
     def _beam_program(self, params, signal, lengths):
         cfg = self.config.model
         dcfg = self.config.decode
+        # Wire dequant was MISSING here through round 4: with the f16
+        # wire the conv front-end's cast made it benign, but an int8/
+        # int4 wire decoded unscaled quantizer steps (a real bug for
+        # evaluate/bench --beam with --h2d int8; the engine's beam
+        # program always dequantized correctly).
+        signal = wire_to_f32(signal, self._h2d,
+                             self.config.signal.clip_sigma,
+                             self.config.signal.chunk_len)
         memory, mem_lengths = encode(params, cfg, signal, lengths)
         res = beam_decode(params, cfg, dcfg, memory, mem_lengths)
         # Best hypothesis per chunk, with exact per-token log-probs and
@@ -167,7 +177,9 @@ class Translator:
             cfg, dcfg = self.config.model, self.config.decode
 
             def program(params, signal, lengths):
-                signal = signal.astype(jnp.float32) * self._h2d_scale
+                signal = wire_to_f32(signal, self._h2d,
+                             self.config.signal.clip_sigma,
+                             self.config.signal.chunk_len)
                 memory, mem_lengths = encode(params, cfg, signal, lengths)
                 res = beam_decode(params, cfg, dcfg, memory, mem_lengths)
                 nb = min(dcfg.n_best, dcfg.beam_size)

@@ -81,8 +81,7 @@ def _ingest_file_worker(path: str, scfg: SignalConfig, h2d_name: str):
         cb = chunk_signal(norm, scfg.chunk_len, scfg.chunk_overlap,
                           scfg.min_chunk_fill)
         cb = dataclasses.replace(
-            cb, chunks=convert_h2d(cb.chunks, np.dtype(h2d_name),
-                                   scfg.clip_sigma))
+            cb, chunks=convert_h2d(cb.chunks, h2d_name, scfg.clip_sigma))
         slim = RawRead(read_id=read.read_id, signal=_EMPTY_SIGNAL,
                        source_file=read.source_file)
         out.append(ReadChunks(read=slim, chunks=cb))
@@ -162,7 +161,16 @@ class AsyncChunkPipeline:
         when fork is unavailable)."""
         self.files = files
         self.scfg = scfg
-        self.h2d_dtype = np.dtype(h2d_dtype)
+        # Wire-name plumbing: "int4" is a packed sub-byte wire (uint8
+        # array of chunk_len/2 + 4 columns, per-chunk scale in the
+        # trailing bytes — io.signal.quantize_h2d_int4); every other
+        # name maps 1:1 onto a numpy dtype of chunk_len columns.
+        from nanodecoder_tpu.io.signal import wire_columns, wire_np_dtype
+
+        self.h2d_name = str(h2d_dtype) if str(h2d_dtype) == "int4" \
+            else np.dtype(h2d_dtype).name
+        self.h2d_dtype = wire_np_dtype(self.h2d_name)
+        self.wire_cols = wire_columns(scfg.chunk_len, self.h2d_name)
         self.batch_chunks = batch_chunks
         self.num_workers = num_workers
         if ingest not in ("process", "thread"):
@@ -231,7 +239,7 @@ class AsyncChunkPipeline:
         in the child — and reuse avoids respawning workers every run."""
         import collections as _collections
 
-        h2d_name = self.h2d_dtype.name
+        h2d_name = self.h2d_name
         pool = _get_ingest_pool(self.num_workers)
         futs: _collections.deque = _collections.deque()
         it = iter(self.files)
@@ -291,15 +299,16 @@ class AsyncChunkPipeline:
 
         def flush() -> PackedBatch:
             n_real = len(buf_chunks)
-            chunks = np.zeros((bsz, clen), self.h2d_dtype)
+            chunks = np.zeros((bsz, self.wire_cols), self.h2d_dtype)
             lengths = np.zeros((bsz,), np.int32)
-            quantize = self.h2d_dtype == np.int8
+            quantize = self.h2d_name in ("int8", "int4")
             for i, (c, l) in enumerate(zip(buf_chunks, buf_lens)):
                 # Process-mode rows arrive pre-converted; thread-mode
-                # f32 rows into an int8 buffer need the rint quantizer
-                # (plain assignment would truncate toward zero).
-                chunks[i] = (convert_h2d(c, self.h2d_dtype, self.scfg.clip_sigma)
-                             if quantize and c.dtype != np.int8 else c)
+                # f32 rows into a quantized buffer need the rint
+                # quantizer (plain assignment would truncate toward
+                # zero / shape-mismatch the packed wire).
+                chunks[i] = (convert_h2d(c, self.h2d_name, self.scfg.clip_sigma)
+                             if quantize and c.dtype != self.h2d_dtype else c)
                 lengths[i] = l
             pb = PackedBatch(chunks=chunks, lengths=lengths,
                              sources=list(buf_src), n_real=n_real)

@@ -354,6 +354,20 @@ def _transformer_decoder_step_lean(lean, cfg: ModelConfig, y1, state):
     # dynamic-update-slices (~37 us fixed cost each, v5e device trace)
     # collapse into ONE combined write at the end of the step.
     kv_read = jax.lax.optimization_barrier(state["self_kv"])
+    if "self_path" in state:
+        # Beam path-indirection mode (DecodeConfig.path_reorder): cache
+        # rows live in WRITE-TIME frame (slot r, step s) = the K/V of
+        # whatever beam occupied slot r at step s; the cache is never
+        # physically permuted.  self_path[b, j, s] names the slot whose
+        # step-s row belongs to current beam j's ancestry, so the
+        # masked self-attention read gathers through it — the same
+        # bytes the read always streamed, with the per-step 2x-cache
+        # permute replaced by a (B, K, T) int32 path update.
+        path = state["self_path"]                     # (B, K, T)
+        bq, kk, _ = path.shape
+        kv4 = kv_read.reshape(bq, kk, tmax, kv_read.shape[2])
+        kv_read = jnp.take_along_axis(
+            kv4, path[:, :, :, None], axis=1).reshape(b, tmax, -1)
     new_rows = []
     amax = None
     for i, (ll, cache) in enumerate(zip(lean["layers"], state["layers"])):

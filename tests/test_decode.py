@@ -424,3 +424,51 @@ class TestStagedDecode:
                                       np.asarray(st.tokens))
         np.testing.assert_allclose(np.asarray(base.scores),
                                    np.asarray(st.scores), atol=1e-6)
+
+
+class TestPathReorder:
+    """Path-indirection beam reorder (DecodeConfig.path_reorder): the
+    unpermuted write-time-frame cache read through the composed
+    ancestry map must be TOKEN-EXACT vs the physical per-step cache
+    permute — the indirection selects the identical K/V values."""
+
+    def _setup(self, rng_np, tmax=48):
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from nanodecoder_tpu.config import tiny_test_config
+        from nanodecoder_tpu.models.model import encode, init_model
+
+        cfg = tiny_test_config()
+        m = dc.replace(cfg.model, lean_step=True, max_decode_len=tmax)
+        params = init_model(jax.random.PRNGKey(0), m)
+        sig = jnp.asarray(rng_np.normal(size=(4, 256)).astype(np.float32))
+        lens = jnp.asarray([256, 200, 128, 64], jnp.int32)
+        memory, mem_len = encode(params, m, sig, lens)
+        return cfg, m, params, memory, mem_len
+
+    @pytest.mark.parametrize("staged", [False, True])
+    def test_beam_path_reorder_exact(self, rng_np, staged):
+        import dataclasses as dc
+
+        from nanodecoder_tpu.decode.beam import beam_decode
+
+        cfg, m, params, memory, mem_len = self._setup(rng_np)
+        if staged:
+            m = dc.replace(m, staged_decode=True)
+        d_phys = dc.replace(cfg.decode, beam_size=3, path_reorder=False)
+        d_path = dc.replace(cfg.decode, beam_size=3, path_reorder=True)
+        base = beam_decode(params, m, d_phys, memory, mem_len)
+        got = beam_decode(params, m, d_path, memory, mem_len)
+        np.testing.assert_array_equal(np.asarray(base.tokens),
+                                      np.asarray(got.tokens))
+        np.testing.assert_array_equal(np.asarray(base.lengths),
+                                      np.asarray(got.lengths))
+        np.testing.assert_allclose(np.asarray(base.scores),
+                                   np.asarray(got.scores), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(base.token_log_probs),
+                                   np.asarray(got.token_log_probs), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(base.attn_pos),
+                                      np.asarray(got.attn_pos))

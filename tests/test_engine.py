@@ -151,14 +151,15 @@ class TestStreamingEngine:
             with pytest.raises(RuntimeError, match="boom"):
                 caller.run([str(tmp_path / "err.fast5")], io.StringIO())
 
-    def test_int8_h2d_mode_runs(self, tiny_params, tiny_config, tmp_path,
-                                rng_np):
+    @pytest.mark.parametrize("wire", ["int8", "int4"])
+    def test_quantized_h2d_mode_runs(self, tiny_params, tiny_config, tmp_path,
+                                     rng_np, wire):
         import dataclasses as dc
 
         from nanodecoder_tpu.decode.engine import StreamingBasecaller
 
         cfg = dc.replace(tiny_config, decode=dc.replace(
-            tiny_config.decode, h2d_dtype="int8"))
+            tiny_config.decode, h2d_dtype=wire))
         reads = {f"r{i}": rng_np.normal(0, 300, size=600) for i in range(2)}
         _write_multi_fast5(str(tmp_path / "i8.fast5"), reads)
         out = io.StringIO()

@@ -219,3 +219,36 @@ class TestH2DInt8:
         # to run and produce same-shape outputs with plausible lengths.
         assert out8[0].shape == out32[0].shape
         assert np.all(out8[1] >= 0)
+
+
+class TestH2DInt4:
+    def test_pack_unpack_roundtrip(self, rng_np):
+        """numpy pack -> device (jnp) unpack recovers the signal within
+        half a quantization step of the per-chunk scale."""
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from nanodecoder_tpu.io.signal import quantize_h2d_int4, wire_to_f32
+
+        x = np.clip(rng_np.normal(size=(6, 64)).astype(np.float32) * 2, -5, 5)
+        wire = quantize_h2d_int4(x)
+        assert wire.dtype == np.uint8 and wire.shape == (6, 64 // 2 + 4)
+        back = np.asarray(wire_to_f32(wire, "int4", 5.0, 64))
+        scales = np.abs(x).max(axis=1)
+        step = scales / 7.0
+        assert np.all(np.abs(back - x) <= step[:, None] / 2 + 1e-6)
+
+    def test_zero_rows_decode_to_zero(self):
+        from nanodecoder_tpu.io.signal import wire_to_f32
+
+        wire = np.zeros((2, 36), np.uint8)  # padded batch rows
+        back = np.asarray(wire_to_f32(wire, "int4", 5.0, 64))
+        np.testing.assert_array_equal(back, np.zeros((2, 64), np.float32))
+
+    def test_wire_shape_helpers(self):
+        from nanodecoder_tpu.io.signal import wire_columns, wire_np_dtype
+
+        assert wire_columns(2048, "int4") == 1028
+        assert wire_columns(2048, "int8") == 2048
+        assert wire_np_dtype("int4") == np.uint8
+        assert wire_np_dtype("float16") == np.float16
