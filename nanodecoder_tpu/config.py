@@ -82,6 +82,14 @@ class ModelConfig:
     # Token-exact: stage bounds are multiples of the DMA block and the
     # step semantics are unchanged (goldens must not move).
     staged_decode: bool = False
+    # Explicit stage schedule for staged_decode (empty = the default
+    # quarter/half/full split).  Must be ascending multiples of the DMA
+    # block (8) ending at max_decode_len.  Tuned against the decode-
+    # length histogram: the flagship's lengths are mean 57 / max 62 at
+    # tmax 96, so e.g. (64, 96) keeps nearly every row inside one
+    # 2/3-size stage instead of crossing two boundaries (the round-5
+    # stage sweep in docs/PERF.md records the measured options).
+    stage_schedule: tuple[int, ...] = ()
     param_dtype: str = "float32"        # master params
     compute_dtype: str = "bfloat16"     # activations on TPU ("float32" = parity mode, SURVEY §7 R2)
     use_pallas: bool = False            # Pallas decode-attention kernel (TPU hot path)

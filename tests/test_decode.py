@@ -472,3 +472,67 @@ class TestPathReorder:
                                    np.asarray(got.token_log_probs), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(base.attn_pos),
                                       np.asarray(got.attn_pos))
+
+
+def test_stage_schedule_override_and_validation():
+    from nanodecoder_tpu.decode.greedy import decode_stage_lengths
+
+    assert decode_stage_lengths(96, (64, 96)) == [64, 96]
+    assert decode_stage_lengths(96, (32, 64, 96)) == [32, 64, 96]
+    with pytest.raises(ValueError):
+        decode_stage_lengths(96, (64,))       # must end at tmax
+    with pytest.raises(ValueError):
+        decode_stage_lengths(96, (30, 96))    # multiples of 8
+
+
+def test_custom_stage_schedule_token_exact(rng_np):
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from nanodecoder_tpu.config import tiny_test_config
+    from nanodecoder_tpu.decode.greedy import greedy_decode
+    from nanodecoder_tpu.models.model import encode, init_model
+
+    cfg = tiny_test_config()
+    m = dc.replace(cfg.model, lean_step=True, max_decode_len=48)
+    params = init_model(jax.random.PRNGKey(0), m)
+    sig = jnp.asarray(rng_np.normal(size=(3, 256)).astype(np.float32))
+    lens = jnp.asarray([256, 200, 128], jnp.int32)
+    memory, mem_len = encode(params, m, sig, lens)
+    base = greedy_decode(params, m, memory, mem_len)
+    st = greedy_decode(
+        params, dc.replace(m, staged_decode=True, stage_schedule=(32, 48)),
+        memory, mem_len)
+    np.testing.assert_array_equal(np.asarray(base.tokens),
+                                  np.asarray(st.tokens))
+
+
+def test_beam_spill_warning():
+    import dataclasses as dc
+    import logging
+
+    from nanodecoder_tpu.config import DecodeConfig
+    from nanodecoder_tpu.decode.beam import warn_if_beam_spill
+
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    # The package root logger has propagate=False (utils.logging), so
+    # attach directly to it rather than relying on caplog's root hook.
+    grab = Grab(level=logging.WARNING)
+    root = logging.getLogger("nanodecoder_tpu")
+    root.addHandler(grab)
+    try:
+        d = DecodeConfig(mode="beam", beam_size=5, batch_chunks=512)
+        warn_if_beam_spill(d)
+        assert any("spill wall" in r.getMessage() for r in records)
+        records.clear()
+        warn_if_beam_spill(dc.replace(d, batch_chunks_beam=256))
+        assert not records
+    finally:
+        root.removeHandler(grab)
