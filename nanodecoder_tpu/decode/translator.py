@@ -118,6 +118,19 @@ class Translator:
 
     # --- jitted programs -------------------------------------------------
 
+    @staticmethod
+    def _compact_d2h(tokens, lengths, lps, scores, sample_pos):
+        """Shrink the device->host transfer ~2.3x (the tunneled relay
+        moves ~26 MB/s, and the f32 outputs of a b512 batch are
+        ~0.6 MB — at parity with the device program itself, i.e. the
+        raw-decode relay-window jitter): token ids and sample positions
+        fit int16 for every vocab/chunk shape this family uses, and f16
+        log-probs keep ~3 significant digits — far inside Phred
+        rounding.  decode_chunk_batch converts back on the host."""
+        return (tokens.astype(jnp.int16), lengths,
+                lps.astype(jnp.float16), scores,
+                sample_pos.astype(jnp.int16))
+
     def _greedy_program(self, params, signal, lengths):
         cfg = self.config.model
         signal = wire_to_f32(signal, self._h2d,
@@ -129,7 +142,8 @@ class Translator:
         # Encoder position -> sample position (center of the conv window).
         ds = cfg.time_downsample
         sample_pos = res.attn_pos * ds + ds // 2
-        return res.tokens, res.lengths, res.token_log_probs, res.scores, sample_pos
+        return self._compact_d2h(res.tokens, res.lengths,
+                                 res.token_log_probs, res.scores, sample_pos)
 
     def _sample_program(self, params, signal, lengths, key):
         cfg = self.config.model
@@ -141,7 +155,8 @@ class Translator:
                             mem_lengths, key)
         ds = cfg.time_downsample
         sample_pos = res.attn_pos * ds + ds // 2
-        return res.tokens, res.lengths, res.token_log_probs, res.scores, sample_pos
+        return self._compact_d2h(res.tokens, res.lengths,
+                                 res.token_log_probs, res.scores, sample_pos)
 
     def _beam_program(self, params, signal, lengths):
         cfg = self.config.model
@@ -165,8 +180,9 @@ class Translator:
         best_lengths = res.lengths[:, 0]
         ds = cfg.time_downsample
         sample_pos = res.attn_pos[:, 0] * ds + ds // 2
-        return (best_tokens, best_lengths, res.token_log_probs[:, 0],
-                res.scores[:, 0], sample_pos)
+        return self._compact_d2h(best_tokens, best_lengths,
+                                 res.token_log_probs[:, 0],
+                                 res.scores[:, 0], sample_pos)
 
     # --- n-best (reference parity: Translator n_best output) -------------
 
@@ -230,7 +246,11 @@ class Translator:
         for real, results in in_flight:
             for acc, r in zip(outs, results):
                 acc.append(np.asarray(r[:real]))
-        return tuple(np.concatenate(acc) for acc in outs)
+        # Restore host-side working dtypes from the compact wire forms
+        # (_compact_d2h): int16 ids/positions -> int32, f16 lps -> f32.
+        host_dtypes = (np.int32, np.int32, np.float32, np.float32, np.int32)
+        return tuple(np.concatenate(acc).astype(dt)
+                     for acc, dt in zip(outs, host_dtypes))
 
     # --- read-level API --------------------------------------------------
 
