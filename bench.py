@@ -157,8 +157,15 @@ def main() -> None:
                     help="staged decode-cache growth (quarter/half/full "
                          "tmax stages): per-step cache reads and the beam "
                          "reorder touch only the live prefix")
+    ap.add_argument("--stages", default="",
+                    help="explicit stage schedule, comma-separated multiples "
+                         "of 8 ending at max_decode_len (e.g. 64,96); "
+                         "implies --staged")
+    ap.add_argument("--physical-reorder", action="store_true",
+                    help="beam: physical per-step cache permute instead of "
+                         "the default path-indirection reorder (A/B lever)")
     ap.add_argument("--h2d", default="",
-                    choices=["", "float32", "float16", "int8", "int4"],
+                    choices=["", "float32", "float16", "int8", "int6", "int4"],
                     help="override signal H2D wire dtype: float32 | float16 "
                          "| int8 (default: config / auto — f16 in bf16 mode)")
     ap.add_argument("--int8-cross", action="store_true",
@@ -257,9 +264,17 @@ def main() -> None:
         config = dataclasses.replace(
             config, decode=dataclasses.replace(config.decode, h2d_dtype=args.h2d)
         )
-    if args.staged:
+    if args.staged or args.stages:
+        schedule = (tuple(int(s) for s in args.stages.split(","))
+                    if args.stages else ())
         config = dataclasses.replace(
-            config, model=dataclasses.replace(config.model, staged_decode=True)
+            config, model=dataclasses.replace(config.model, staged_decode=True,
+                                              stage_schedule=schedule)
+        )
+    if args.physical_reorder:
+        config = dataclasses.replace(
+            config, decode=dataclasses.replace(config.decode,
+                                               path_reorder=False)
         )
     batch = args.batch or (256 if args.beam else 512)
     # Set BOTH batch fields (as cli/basecall.py does): engine mode

@@ -55,7 +55,7 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="ingest worker processes (subprocess pool; thread "
                          "mode measured zero worker scaling — io/pipeline)")
     ap.add_argument("--h2d", default="",
-                    choices=["", "float32", "float16", "int8", "int4"],
+                    choices=["", "float32", "float16", "int8", "int6", "int4"],
                     help="signal H2D wire dtype: float32 | float16 | int8 "
                          "(default auto: f16 in bf16 mode; int8 halves the "
                          "dominant transfer — identity impact in "

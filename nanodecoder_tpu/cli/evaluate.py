@@ -70,7 +70,7 @@ def build_argparser() -> argparse.ArgumentParser:
                          "single-stage loop; flag exists for on-hardware "
                          "verification of that claim)")
     ap.add_argument("--h2d", default="",
-                    choices=["", "float32", "float16", "int8", "int4"],
+                    choices=["", "float32", "float16", "int8", "int6", "int4"],
                     help="signal H2D wire dtype override: float32 | float16 "
                          "| int8 (measures the engine's wire numerics)")
     ap.add_argument("--int8-cross", action="store_true",

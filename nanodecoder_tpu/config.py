@@ -194,7 +194,7 @@ class DecodeConfig:
         Raises on unsupported names: convert_h2d only special-cases the
         names below, so e.g. 'int16' would silently astype z-scores to
         integers in {-5..5} and basecall garbage with no error."""
-        valid = ("auto", "float32", "float16", "int8", "int4")
+        valid = ("auto", "float32", "float16", "int8", "int6", "int4")
         if self.h2d_dtype not in valid:
             raise ValueError(
                 f"h2d_dtype={self.h2d_dtype!r} unsupported; choose one of "

@@ -87,25 +87,64 @@ def quantize_h2d_int4(x: np.ndarray) -> np.ndarray:
         [packed, scales.view(np.uint8).reshape(n, 4)], axis=1)
 
 
+def quantize_h2d_int6(x: np.ndarray) -> np.ndarray:
+    """z-scored chunks (N, L) -> int6 wire array (N, 3L/4 + 4) uint8.
+
+    The 4-bit wire measured a 3.2-point identity LOSS (round 5,
+    bench_results/identity_r05.jsonl): the k-mer level table spans
+    ±2.9 sigma with neighbor spacing finer than the ±7-step 0.43-sigma
+    grid, and any nonlinear 4-bit companding coarsens the top levels
+    that must stay distinguishable.  Six bits with a per-chunk max-|z|
+    scale gives ~0.098 sigma steps (~int8-class added noise at 3/4 the
+    bytes of int8): four samples pack into three bytes, little-endian
+    within each 24-bit group, biased by +32; the f32 scale rides as 4
+    trailing bytes (same convention as int4)."""
+    if x.ndim == 1:
+        return quantize_h2d_int6(x[None, :])[0]
+    n, length = x.shape
+    assert length % 4 == 0, "int6 packing needs chunk_len % 4 == 0"
+    scales = np.maximum(np.abs(x).max(axis=1), 1e-6).astype(np.float32)
+    q = np.clip(np.rint(x * (31.0 / scales[:, None])), -31, 31).astype(np.int16)
+    u = (q + 32).astype(np.uint32)                     # 6-bit, in [1, 63]
+    g = u.reshape(n, length // 4, 4)
+    word = g[..., 0] | (g[..., 1] << 6) | (g[..., 2] << 12) | (g[..., 3] << 18)
+    packed = np.stack([word & 0xFF, (word >> 8) & 0xFF, (word >> 16) & 0xFF],
+                      axis=-1).astype(np.uint8).reshape(n, 3 * length // 4)
+    return np.concatenate(
+        [packed, scales.view(np.uint8).reshape(n, 4)], axis=1)
+
+
 def convert_h2d(x: np.ndarray, dtype, clip_sigma: float) -> np.ndarray:
     """Cast a float32 chunk array to the H2D wire dtype.
     `dtype`: np.dtype or name string; "int4" is the packed sub-byte
     wire (quantize_h2d_int4), everything else a plain cast."""
     if str(dtype) == "int4":
         return quantize_h2d_int4(x)
+    if str(dtype) == "int6":
+        return quantize_h2d_int6(x)
     if np.dtype(dtype) == np.int8:
         return quantize_h2d_int8(x, clip_sigma)
     return x.astype(np.dtype(dtype))
 
 
+_PACKED_WIRES = ("int4", "int6")
+
+
 def wire_columns(chunk_len: int, h2d_name: str) -> int:
     """Per-chunk wire-array width for a given H2D dtype name."""
-    return chunk_len // 2 + 4 if str(h2d_name) == "int4" else chunk_len
+    name = str(h2d_name)
+    if name == "int4":
+        return chunk_len // 2 + 4
+    if name == "int6":
+        return 3 * chunk_len // 4 + 4
+    return chunk_len
 
 
 def wire_np_dtype(h2d_name) -> np.dtype:
-    """Numpy dtype of the wire array ("int4" packs into uint8)."""
-    return np.dtype(np.uint8) if str(h2d_name) == "int4" else np.dtype(str(h2d_name))
+    """Numpy dtype of the wire array (packed wires ride in uint8)."""
+    if str(h2d_name) in _PACKED_WIRES:
+        return np.dtype(np.uint8)
+    return np.dtype(str(h2d_name))
 
 
 def wire_to_f32(signal, h2d_name: str, clip_sigma: float, chunk_len: int):
@@ -123,6 +162,16 @@ def wire_to_f32(signal, h2d_name: str, clip_sigma: float, chunk_len: int):
         hi = jnp.right_shift(packed, jnp.uint8(4)).astype(jnp.int32) - 8
         q = jnp.stack([lo, hi], axis=-1).reshape(signal.shape[0], chunk_len)
         return q.astype(jnp.float32) * (scales[:, None] / 7.0)
+    if h2d_name == "int6":
+        b = signal.shape[0]
+        packed = signal[:, :-4].astype(jnp.uint32)
+        scales = jax.lax.bitcast_convert_type(signal[:, -4:], jnp.float32)
+        g = packed.reshape(b, chunk_len // 4, 3)
+        word = g[..., 0] | (g[..., 1] << 8) | (g[..., 2] << 16)
+        q = jnp.stack([word & 0x3F, (word >> 6) & 0x3F,
+                       (word >> 12) & 0x3F, (word >> 18) & 0x3F],
+                      axis=-1).astype(jnp.int32).reshape(b, chunk_len) - 32
+        return q.astype(jnp.float32) * (scales[:, None] / 31.0)
     if h2d_name == "int8":
         return signal.astype(jnp.float32) * (clip_sigma / 127.0)
     return signal.astype(jnp.float32)

@@ -252,3 +252,24 @@ class TestH2DInt4:
         assert wire_columns(2048, "int8") == 2048
         assert wire_np_dtype("int4") == np.uint8
         assert wire_np_dtype("float16") == np.float16
+
+
+class TestH2DInt6:
+    def test_pack_unpack_roundtrip(self, rng_np):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from nanodecoder_tpu.io.signal import quantize_h2d_int6, wire_to_f32
+
+        x = np.clip(rng_np.normal(size=(5, 64)).astype(np.float32) * 2, -5, 5)
+        wire = quantize_h2d_int6(x)
+        assert wire.dtype == np.uint8 and wire.shape == (5, 48 + 4)
+        back = np.asarray(wire_to_f32(wire, "int6", 5.0, 64))
+        step = np.abs(x).max(axis=1) / 31.0
+        assert np.all(np.abs(back - x) <= step[:, None] / 2 + 1e-6)
+
+    def test_wire_helpers(self):
+        from nanodecoder_tpu.io.signal import wire_columns, wire_np_dtype
+
+        assert wire_columns(2048, "int6") == 1540
+        assert wire_np_dtype("int6") == np.uint8
