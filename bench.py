@@ -161,9 +161,10 @@ def main() -> None:
                     help="explicit stage schedule, comma-separated multiples "
                          "of 8 ending at max_decode_len (e.g. 64,96); "
                          "implies --staged")
-    ap.add_argument("--physical-reorder", action="store_true",
-                    help="beam: physical per-step cache permute instead of "
-                         "the default path-indirection reorder (A/B lever)")
+    ap.add_argument("--path-reorder", action="store_true",
+                    help="beam: path-indirection cache reorder instead of "
+                         "the default physical per-step permute (A/B lever; "
+                         "measured 2.2x SLOWER on chip — docs/PERF.md r5)")
     ap.add_argument("--h2d", default="",
                     choices=["", "float32", "float16", "int8", "int6", "int4"],
                     help="override signal H2D wire dtype: float32 | float16 "
@@ -271,10 +272,10 @@ def main() -> None:
             config, model=dataclasses.replace(config.model, staged_decode=True,
                                               stage_schedule=schedule)
         )
-    if args.physical_reorder:
+    if args.path_reorder:
         config = dataclasses.replace(
             config, decode=dataclasses.replace(config.decode,
-                                               path_reorder=False)
+                                               path_reorder=True)
         )
     batch = args.batch or (256 if args.beam else 512)
     # Set BOTH batch fields (as cli/basecall.py does): engine mode

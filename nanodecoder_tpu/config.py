@@ -172,12 +172,17 @@ class DecodeConfig:
     # frame and a composed ancestry map (B, K, T) int32 — updated per
     # step by a gather 32x smaller than the cache — indirects the
     # masked self-attention read (token-exact vs the physical permute;
-    # tests/test_decode.py).  The round-4 roofline showed the physical
-    # per-step permute AT the HBM floor for the bytes it moves; this
-    # moves ~32x fewer (VERDICT r4 weak #2: "a gather-on-read
-    # indirection moves strictly fewer bytes").  False = reference-
-    # style physical cache reorder.
-    path_reorder: bool = True
+    # tests/test_decode.py).  Chip A/B (round 5, b256 beam5): the
+    # indirection measured 5,299 ks/s vs 11,574 for the physical
+    # permute — 2.2x SLOWER.  The ancestry map itself is tiny, but the
+    # self-attention read must gather T cache rows per (batch, beam)
+    # every step; XLA materializes that gathered prefix as a fresh
+    # (B*K, T, Dh) copy per step — the same bytes the permute moves,
+    # now strided instead of contiguous, plus the compose ops.  The
+    # round-4 roofline bounded the permute's bytes, not the count of
+    # programs that touch them.  Physical reorder is the default;
+    # the indirection stays as an A/B lever (docs/PERF.md round 5).
+    path_reorder: bool = False
     # Signal host->device dtype.  The engine's H2D transfer is its
     # single largest link cost (2 MB f32 per 512-chunk batch; the
     # tunneled relay moves ~26 MB/s).  "auto" = float16 when compute is

@@ -174,11 +174,14 @@ def beam_decode(params, cfg: ModelConfig, dcfg: DecodeConfig,
 
     params = prepare_decode_params(params, cfg, memory.dtype)
 
-    # Path-indirection reorder (DecodeConfig.path_reorder): the self
-    # cache stays in write-time frame and the per-step physical permute
-    # (2x the cache's bytes, measured AT the HBM floor in round 4) is
-    # replaced by composing the (B, K, T) ancestry map — the lean step
-    # gathers its masked self-attention read through it.
+    # Path-indirection reorder (DecodeConfig.path_reorder, default
+    # OFF): the self cache stays in write-time frame and the per-step
+    # physical permute is replaced by composing the (B, K, T) ancestry
+    # map — the lean step gathers its masked self-attention read
+    # through it.  Token-exact, but chip-measured 2.2x SLOWER than the
+    # physical permute (5,299 vs 11,574 ks/s, round 5): the read-time
+    # gather re-materializes the same prefix bytes every step, strided.
+    # Kept as an A/B lever; see config.py and docs/PERF.md.
     use_path = (dcfg.path_reorder and cfg.lean_step
                 and cfg.decoder_type == "transformer")
     if use_path:
