@@ -28,8 +28,8 @@ import numpy as np
 
 from nanodecoder_tpu.config import SignalConfig
 from nanodecoder_tpu.io.fast5 import RawRead, iter_fast5_reads, list_signal_files, read_fast5_file
-from nanodecoder_tpu.io.signal import (ChunkBatch, chunk_signal, convert_h2d,
-                                        normalize_signal)
+from nanodecoder_tpu.io.signal import (_PACKED_WIRES, ChunkBatch, chunk_signal,
+                                        convert_h2d, normalize_signal)
 from nanodecoder_tpu.utils.logging import get_logger
 
 log = get_logger("pipeline")
@@ -161,13 +161,14 @@ class AsyncChunkPipeline:
         when fork is unavailable)."""
         self.files = files
         self.scfg = scfg
-        # Wire-name plumbing: "int4" is a packed sub-byte wire (uint8
-        # array of chunk_len/2 + 4 columns, per-chunk scale in the
-        # trailing bytes — io.signal.quantize_h2d_int4); every other
-        # name maps 1:1 onto a numpy dtype of chunk_len columns.
+        # Wire-name plumbing: "int4"/"int6" are packed sub-byte wires
+        # (uint8 arrays of chunk_len/2 + 4 or 3*chunk_len/4 + 4 columns,
+        # per-chunk scale in the trailing bytes — io.signal
+        # quantize_h2d_int4/int6); every other name maps 1:1 onto a
+        # numpy dtype of chunk_len columns.
         from nanodecoder_tpu.io.signal import wire_columns, wire_np_dtype
 
-        self.h2d_name = str(h2d_dtype) if str(h2d_dtype) == "int4" \
+        self.h2d_name = str(h2d_dtype) if str(h2d_dtype) in _PACKED_WIRES \
             else np.dtype(h2d_dtype).name
         self.h2d_dtype = wire_np_dtype(self.h2d_name)
         self.wire_cols = wire_columns(scfg.chunk_len, self.h2d_name)
@@ -301,7 +302,7 @@ class AsyncChunkPipeline:
             n_real = len(buf_chunks)
             chunks = np.zeros((bsz, self.wire_cols), self.h2d_dtype)
             lengths = np.zeros((bsz,), np.int32)
-            quantize = self.h2d_name in ("int8", "int4")
+            quantize = self.h2d_name in ("int8",) + _PACKED_WIRES
             for i, (c, l) in enumerate(zip(buf_chunks, buf_lens)):
                 # Process-mode rows arrive pre-converted; thread-mode
                 # f32 rows into a quantized buffer need the rint

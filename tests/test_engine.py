@@ -151,7 +151,7 @@ class TestStreamingEngine:
             with pytest.raises(RuntimeError, match="boom"):
                 caller.run([str(tmp_path / "err.fast5")], io.StringIO())
 
-    @pytest.mark.parametrize("wire", ["int8", "int4"])
+    @pytest.mark.parametrize("wire", ["int8", "int6", "int4"])
     def test_quantized_h2d_mode_runs(self, tiny_params, tiny_config, tmp_path,
                                      rng_np, wire):
         import dataclasses as dc
