@@ -55,9 +55,13 @@ def main() -> int:
         return 1
     with open(os.path.join(REPO, "bench_results", "config.json")) as f:
         config = Config.from_json(f.read())
-    # f32 parity mode (SURVEY.md §7 R2)
+    # f32 parity mode (SURVEY.md §7 R2): full-precision compute AND a
+    # full-precision H2D wire, so the goldens are invariant to the
+    # serving wire default (int8/int6/...) in config.json.
     config = dataclasses.replace(
-        config, model=dataclasses.replace(config.model, compute_dtype="float32")
+        config,
+        model=dataclasses.replace(config.model, compute_dtype="float32"),
+        decode=dataclasses.replace(config.decode, h2d_dtype="float32"),
     )
     params = load_params_npz(npz, init_model(jax.random.PRNGKey(0), config.model))
     tr = Translator(params, config)

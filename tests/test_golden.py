@@ -33,8 +33,13 @@ def translator():
 
     with open(os.path.join(REPO, "bench_results", "config.json")) as f:
         config = Config.from_json(f.read())
+    # f32 parity mode: full-precision compute AND H2D wire, matching
+    # scripts/make_golden.py — the gate must not move when the serving
+    # wire default (h2d_dtype) changes in config.json.
     config = dataclasses.replace(
-        config, model=dataclasses.replace(config.model, compute_dtype="float32")
+        config,
+        model=dataclasses.replace(config.model, compute_dtype="float32"),
+        decode=dataclasses.replace(config.decode, h2d_dtype="float32"),
     )
     params = load_params_npz(NPZ, init_model(jax.random.PRNGKey(0), config.model))
     return Translator(params, config)
