@@ -202,6 +202,12 @@ def cmd_trace(args):
     )
     translator = Translator(params, config)
     jc, jl = sim_chunks(config, args.batch)
+    # _decode_jit takes the H2D WIRE format (int6 default since round
+    # 5), not raw f32 — convert exactly as bench.py does.
+    from nanodecoder_tpu.io.signal import convert_h2d
+
+    jc = jnp.asarray(convert_h2d(np.asarray(jc), translator._h2d,
+                                 config.signal.clip_sigma))
     out = translator._decode_jit(jc, jl)
     jax.block_until_ready(out)
     print("# warm; tracing", args.reps, "decodes")
