@@ -105,7 +105,7 @@ def _bench_engine(args, config, params) -> None:
         binding = ("producer" if producer["total_sec"] >= collector["total_sec"]
                    else "collector")
         art = {
-            "config": {"batch_chunks": config.decode.effective_batch_chunks(),
+            "config": {"batch_chunks": config.decode.effective_batch_chunks(engine=True),
                        "depth": args.depth, "workers": args.workers,
                        "format": "pod5" if args.pod5 else "fast5",
                        "compute_dtype": config.model.compute_dtype,
@@ -225,10 +225,7 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)),
         "bench_results", "flagship_params.npz")
     config = Config()  # flagship defaults: d_model=256, 6+3 layers, chunk=2048
-    if args.beam:
-        config = dataclasses.replace(
-            config, decode=dataclasses.replace(config.decode, mode="beam")
-        )
+    have_committed = False
     if os.path.exists(ckpt_npz):
         from nanodecoder_tpu.train.checkpoint import load_params_npz
 
@@ -236,13 +233,26 @@ def main() -> None:
         if os.path.exists(cfg_json):
             with open(cfg_json) as f:
                 loaded = Config.from_json(f.read())
-            config = dataclasses.replace(config, model=loaded.model, signal=loaded.signal)
+            # Adopt the COMMITTED serving config wholesale (model,
+            # signal AND decode): the decode section carries the
+            # published operating points (batch_chunks per mode, wire
+            # dtype) — reconstructing it from dataclass defaults made
+            # "bench with no flags reproduces the published row" only
+            # approximately true (round-5 fix).  Flags below override.
+            config = dataclasses.replace(
+                config, model=loaded.model, signal=loaded.signal,
+                decode=loaded.decode)
+            have_committed = True
         params = load_params_npz(ckpt_npz,
                                  init_model(jax.random.PRNGKey(0), config.model))
         print("# params: trained flagship checkpoint", file=sys.stderr)
     else:
         params = init_model(jax.random.PRNGKey(0), config.model)
         print("# params: RANDOM INIT (decode lengths unrealistic)", file=sys.stderr)
+    if args.beam:
+        config = dataclasses.replace(
+            config, decode=dataclasses.replace(config.decode, mode="beam")
+        )
     if args.pallas:  # after checkpoint-config load so it isn't overwritten
         config = dataclasses.replace(
             config,
@@ -277,14 +287,17 @@ def main() -> None:
             config, decode=dataclasses.replace(config.decode,
                                                path_reorder=True)
         )
-    batch = args.batch or (256 if args.beam else 512)
-    # Set BOTH batch fields (as cli/basecall.py does): engine mode
-    # resolves via effective_batch_chunks(), which would otherwise
-    # prefer a config-carried batch_chunks_beam over --batch.
-    config = dataclasses.replace(
-        config, decode=dataclasses.replace(config.decode, batch_chunks=batch,
-                                           batch_chunks_beam=batch)
-    )
+    # --batch overrides ALL per-mode batch fields (as cli/basecall.py
+    # does); without it the committed config's operating points stand
+    # (engine mode resolves its own batch_chunks_engine).  Without a
+    # committed config, fall back to the round-4 sweet spots.
+    batch = args.batch or (0 if have_committed else (256 if args.beam else 512))
+    if batch:
+        config = dataclasses.replace(
+            config, decode=dataclasses.replace(
+                config.decode, batch_chunks=batch, batch_chunks_beam=batch,
+                batch_chunks_engine=batch)
+        )
     n_params = param_count(params)
 
     dev = jax.devices()[0]

@@ -136,7 +136,8 @@ def main(argv=None) -> int:
         overrides.update(h2d_dtype=args.h2d)
     if args.batch_chunks > 0:
         overrides.update(batch_chunks=args.batch_chunks,
-                         batch_chunks_beam=args.batch_chunks)
+                         batch_chunks_beam=args.batch_chunks,
+                         batch_chunks_engine=args.batch_chunks)
     if overrides:
         config = dataclasses.replace(
             config, decode=dataclasses.replace(config.decode, **overrides)

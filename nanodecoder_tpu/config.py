@@ -166,6 +166,12 @@ class DecodeConfig:
     # the operating point for the active mode — the serving config can
     # carry BOTH published operating points (VERDICT r3 weak #5).
     batch_chunks_beam: int = 0
+    # The streaming engine's sweet spot is SMALLER than raw decode's:
+    # its pipeline is link-bound (tunneled relay), and coarser batches
+    # reduce transfer/compute overlap granularity — measured round 5
+    # (engine ks/s at 512/576/640 = 13,185/13,755/10,946 in one window
+    # while raw greedy preferred 640).  0 = use the mode default.
+    batch_chunks_engine: int = 0
     use_pallas: bool = True       # pallas attention kernels on TPU hot path
     # Beam reorder strategy (lean transformer path only).  True = the
     # self cache is NEVER physically permuted: rows stay in write-time
@@ -208,8 +214,12 @@ class DecodeConfig:
             return self.h2d_dtype
         return "float16" if compute_dtype == "bfloat16" else "float32"
 
-    def effective_batch_chunks(self) -> int:
-        """Device batch for the active decode mode."""
+    def effective_batch_chunks(self, engine: bool = False) -> int:
+        """Device batch for the active decode mode.  `engine=True`
+        prefers batch_chunks_engine (the streaming engine's link-bound
+        sweet spot) over the raw-decode operating point."""
+        if engine and self.batch_chunks_engine > 0:
+            return self.batch_chunks_engine
         if self.mode == "beam" and self.batch_chunks_beam > 0:
             return self.batch_chunks_beam
         return self.batch_chunks

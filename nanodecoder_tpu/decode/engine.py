@@ -224,7 +224,7 @@ class StreamingBasecaller:
         # halves the relay-bound transfer again (config.DecodeConfig).
         h2d = cfg.decode.resolve_h2d(cfg.model.compute_dtype)
         pipe = AsyncChunkPipeline(
-            files, cfg.signal, cfg.decode.effective_batch_chunks(),
+            files, cfg.signal, cfg.decode.effective_batch_chunks(engine=True),
             num_workers=num_workers,
             h2d_dtype=h2d,
         ).start()
