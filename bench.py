@@ -143,12 +143,14 @@ def main() -> None:
                     help="dispatch-ahead depth (1 = block every batch, "
                          "i.e. per-batch latency mode)")
     ap.add_argument("--batch", type=int, default=0,
-                    help="chunks per device batch (default: measured v5e "
-                         "sweet spots for the k=4 MQA flagship, round 4 — "
-                         "512 greedy (33,302 ks/s), 256 beam (9,576; "
-                         "9,459 at 128, 9,349 at 384, 6,387 at 512 — the "
-                         "grouped cross einsum moved round 3's ~640-row "
-                         "spill wall); BASELINE C2's nominal shape is 32)")
+                    help="chunks per device batch (default: the committed "
+                         "config's per-mode operating points — round-5 h2 "
+                         "flagship sweet spots 640 greedy (43.6k ks/s; "
+                         "512/768/896/1024 = 42-44.2/42.8/40.9/36.0k), "
+                         "256 beam (12.3k; 320/384 = 11.9/12.1k), 512 "
+                         "engine (13.9k; 640 = 10.3-10.9k — the link-bound "
+                         "pipeline wants finer overlap granularity); "
+                         "BASELINE C2's nominal shape is 32)")
     ap.add_argument("--f32", action="store_true",
                     help="decode in float32 parity mode (default: bfloat16 "
                          "fast mode — measured identity delta < 1e-4, see "

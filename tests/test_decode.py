@@ -536,3 +536,30 @@ def test_beam_spill_warning():
         assert not records
     finally:
         root.removeHandler(grab)
+
+
+def test_effective_batch_chunks_per_mode():
+    """Per-mode operating-point resolution: beam prefers
+    batch_chunks_beam, the engine prefers batch_chunks_engine (its
+    link-bound sweet spot is smaller than raw decode's — measured
+    round 5), and 0 means 'use the mode default'."""
+    import dataclasses as dc
+
+    from nanodecoder_tpu.config import DecodeConfig
+
+    d = DecodeConfig(batch_chunks=640, batch_chunks_beam=256,
+                     batch_chunks_engine=512)
+    assert d.effective_batch_chunks() == 640
+    assert d.effective_batch_chunks(engine=True) == 512
+    b = dc.replace(d, mode="beam")
+    assert b.effective_batch_chunks() == 256
+    # engine override wins over the beam batch too (the engine decodes
+    # in the configured mode but batches for the link)
+    assert b.effective_batch_chunks(engine=True) == 512
+    # 0 = fall back to the mode default
+    z = dc.replace(d, batch_chunks_engine=0)
+    assert z.effective_batch_chunks(engine=True) == 640
+    zb = dc.replace(d, mode="beam", batch_chunks_beam=0,
+                    batch_chunks_engine=0)
+    assert zb.effective_batch_chunks() == 640
+    assert zb.effective_batch_chunks(engine=True) == 640
